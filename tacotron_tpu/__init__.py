@@ -1,0 +1,19 @@
+"""TPU-native multi-speaker Tacotron TTS framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+``GSByeon/multi-speaker-tacotron-tensorflow`` (mounted read-only at
+``/root/reference``): Tacotron with CBHG encoder/post-net, Deep Voice 2
+multi-speaker conditioning, a Korean-first text frontend, spectrogram data
+pipeline, Griffin-Lim vocoding, training/serving drivers — built TPU-first
+(pjit/shard_map over a device mesh, ``lax.scan`` decoding, on-chip DSP).
+"""
+
+__version__ = "0.1.0"
+
+from .config import (AudioConfig, Config, DataConfig, MeshConfig, ModelConfig,
+                     TrainConfig, load_config, save_config)
+
+__all__ = [
+    "AudioConfig", "Config", "DataConfig", "MeshConfig", "ModelConfig",
+    "TrainConfig", "load_config", "save_config", "__version__",
+]

@@ -1,0 +1,227 @@
+"""Typed, immutable configuration for the TPU-native Tacotron framework.
+
+Replaces the reference's process-global mutable ``tf.contrib.training.HParams``
+singleton (``/root/reference/hparams.py:8-150``) with frozen dataclasses threaded
+explicitly through constructors.  Default values reproduce the hyperparameters
+that are *actually in effect* in the reference after its layered ``update()``
+blocks (``hparams.py:26-29`` sets sample_rate=24000; the ``elif True`` Deep
+Voice 2 block at ``hparams.py:83-94`` sets dropout_prob=0.8, post_rnn_size=256).
+
+Configs serialize to/from JSON so that a run directory records the exact
+configuration it was trained with (reference: ``utils/__init__.py:100-126``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioConfig:
+    """STFT / mel / Griffin-Lim parameters (reference ``hparams.py:14-29,144-145``)."""
+
+    num_mels: int = 80
+    num_freq: int = 1025
+    sample_rate: int = 24000
+    frame_length_ms: float = 50.0
+    frame_shift_ms: float = 12.5
+    preemphasis: float = 0.97
+    min_level_db: float = -100.0
+    ref_level_db: float = 20.0
+    griffin_lim_iters: int = 60
+    power: float = 1.5  # magnitude exponent applied before Griffin-Lim
+
+    @property
+    def n_fft(self) -> int:
+        # reference audio/__init__.py:119
+        return (self.num_freq - 1) * 2
+
+    @property
+    def hop_length(self) -> int:
+        # reference audio/__init__.py:120
+        return int(self.frame_shift_ms / 1000 * self.sample_rate)
+
+    @property
+    def win_length(self) -> int:
+        # reference audio/__init__.py:121
+        return int(self.frame_length_ms / 1000 * self.sample_rate)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Tacotron + Deep Voice 2 architecture (reference ``hparams.py:31-94``)."""
+
+    # One of: "single" (no speaker conditioning), "deepvoice" (per-site initial
+    # state injection), "simple" (speaker-embed concat).  reference hparams.py:33,
+    # models/tacotron.py:41-94.
+    model_type: str = "single"
+    num_speakers: int = 1
+    speaker_embedding_size: int = 16
+
+    embedding_size: int = 256
+    dropout_prob: float = 0.8
+
+    # Encoder
+    enc_prenet_sizes: Tuple[int, ...] = (256, 128)
+    enc_bank_size: int = 16
+    enc_bank_channel_size: int = 128
+    enc_maxpool_width: int = 2
+    enc_highway_depth: int = 4
+    enc_rnn_size: int = 128
+    enc_proj_sizes: Tuple[int, ...] = (128, 128)
+    enc_proj_width: int = 3
+
+    # Attention: "bah_mon" (Bahdanau monotonic, the default), "bah", "bah_norm",
+    # "luong", "luong_scaled" (reference models/tacotron.py:132-152).
+    attention_type: str = "bah_mon"
+    attention_size: int = 256
+    attention_state_size: int = 256
+
+    # Decoder
+    dec_layer_num: int = 2
+    dec_rnn_size: int = 256
+    dec_prenet_sizes: Tuple[int, ...] = (256, 128)
+
+    # Post-net CBHG
+    post_bank_size: int = 8
+    post_bank_channel_size: int = 256
+    post_maxpool_width: int = 2
+    post_highway_depth: int = 4
+    post_rnn_size: int = 256
+    post_proj_sizes: Tuple[int, ...] = (256, 80)
+    post_proj_width: int = 3
+
+    reduction_factor: int = 4
+    max_iters: int = 200  # decoder step cap (reference models/tacotron.py:210)
+
+    # Numerics: params/math in float32 by default for parity with the reference;
+    # flip to bfloat16 to run matmuls on the MXU at twice the throughput.
+    compute_dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization schedule (reference ``hparams.py:120-136``,
+    ``models/tacotron.py:305-336``)."""
+
+    batch_size: int = 16
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    initial_learning_rate: float = 0.002
+    # 0 = Noam warmup (4k steps fresh / 40k finetune); 1 = exponential decay
+    decay_learning_rate_mode: int = 0
+    warmup_steps_fresh: float = 4000.0
+    warmup_steps_finetune: float = 40000.0
+    grad_clip_norm: float = 1.0
+
+    prioritize_loss: bool = False
+    recognition_loss_coeff: float = 0.2
+    ignore_recognition_level: int = 1
+
+    initial_data_greedy: bool = True
+    initial_phase_step: int = 8000
+    main_data_greedy_factor: float = 0.0
+    main_data: Tuple[str, ...] = ("",)
+
+    checkpoint_interval: int = 1000
+    summary_interval: int = 100
+    test_interval: int = 500
+    max_checkpoints_to_keep: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Corpus filtering and batching (reference ``hparams.py:139-142``,
+    ``datasets/datafeeder.py:96-99``)."""
+
+    cleaners: str = "korean_cleaners"
+    min_tokens: int = 50
+    min_iters: int = 30
+    max_iters: int = 200
+    skip_inadequate: bool = False
+    batches_per_group: int = 32
+    # Pad every batch's token/frame axes up to a small set of bucket shapes so
+    # XLA compiles a handful of programs instead of one per batch (the reference
+    # pads to the per-batch max, which would trigger recompilation under jit).
+    bucket_size_tokens: int = 32
+    bucket_size_frames: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit/NamedSharding.
+
+    The reference is single-process, single-device (SURVEY.md section 2.5); this
+    is a new, first-class component.  ``data`` shards the batch (DP over ICI);
+    ``model`` optionally shards wide projection/embedding tables (TP).
+    """
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # -1 = use all devices on the data axis
+    data_parallelism: int = -1
+    model_parallelism: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    audio: AudioConfig = dataclasses.field(default_factory=AudioConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    # ------------------------------------------------------------------ JSON
+
+    def to_json(self, indent: int = 2) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=indent, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        raw = json.loads(text)
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: dict) -> "Config":
+        def build(dc_cls, d: dict):
+            fields = {f.name: f for f in dataclasses.fields(dc_cls)}
+            kwargs: dict[str, Any] = {}
+            for key, value in d.items():
+                if key not in fields:
+                    continue  # forward-compatible: ignore unknown keys
+                if isinstance(value, list):
+                    value = tuple(value)
+                kwargs[key] = value
+            return dc_cls(**kwargs)
+
+        return cls(
+            audio=build(AudioConfig, raw.get("audio", {})),
+            model=build(ModelConfig, raw.get("model", {})),
+            train=build(TrainConfig, raw.get("train", {})),
+            data=build(DataConfig, raw.get("data", {})),
+            mesh=build(MeshConfig, raw.get("mesh", {})),
+        )
+
+    def replace(self, **sections) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+    def debug_string(self) -> str:
+        """Sorted hyperparameter dump (reference ``hparams.py:153-156``)."""
+        flat = {}
+        for section_name, section in dataclasses.asdict(self).items():
+            for key, value in section.items():
+                flat[f"{section_name}.{key}"] = value
+        lines = [f"    {k}: {flat[k]}" for k in sorted(flat)]
+        return "Hyperparameters:\n" + "\n".join(lines)
+
+
+def save_config(config: Config, path: str) -> None:
+    with open(path, "w") as fh:
+        fh.write(config.to_json())
+
+
+def load_config(path: str) -> Config:
+    with open(path) as fh:
+        return Config.from_json(fh.read())

@@ -1,0 +1,167 @@
+"""Text frontend tests.
+
+Golden normalization cases derive from the reference's inline self-test
+(``/root/reference/text/korean.py:308-319``) plus round-trip and codec checks.
+"""
+
+import numpy as np
+import pytest
+
+from tacotron_tpu.text import (EOS_ID, PAD_ID, VOCAB_SIZE, sequence_to_text,
+                               text_to_sequence)
+from tacotron_tpu.text import hangul
+from tacotron_tpu.text.english_numbers import (normalize_numbers,
+                                               number_to_words,
+                                               ordinal_to_words,
+                                               year_to_words)
+from tacotron_tpu.text.korean import normalize, normalize_number, tokenize
+
+
+class TestHangul:
+    def test_decompose_compose_roundtrip(self):
+        for text in ["안녕하세요", "값", "한국어 음성 합성", "가"]:
+            jamo = hangul.decompose(text)
+            assert hangul.compose_text(jamo) == text
+
+    def test_decompose_known(self):
+        # 한 = ㅎ(U+1112) + ㅏ(U+1161) + ㄴ(U+11AB)
+        assert hangul.decompose("한") == "한"
+
+    def test_non_hangul_passthrough(self):
+        assert hangul.decompose("abc, 123!") == "abc, 123!"
+
+    def test_lone_jamo_to_hcj(self):
+        assert hangul.jamo_char_to_hcj("ᄀ") == "ㄱ"
+        assert hangul.jamo_char_to_hcj("ᆫ") == "ㄴ"
+
+
+class TestKoreanNormalize:
+    def test_date_paren_removed(self):
+        # reference korean.py:314-315 case: "오늘(13일)" drops the parenthetical
+        assert normalize("오늘(13일) 입니다") == "오늘 입니다"
+
+    def test_acronym_reading(self):
+        assert normalize("JTBC") == "제이티비씨"
+        assert normalize("DY는") == "디와이는"
+
+    def test_mixed_case_word_kept(self):
+        # Only all-uppercase words are read letter-by-letter
+        assert "Absolute" in normalize("Absolute")
+
+    def test_number_with_counter_native_reading(self):
+        assert normalize_number("101마리") == "백한마리"
+        assert normalize_number("5가지") == "다섯가지"
+        assert normalize_number("20명") == "스무명" or \
+            normalize_number("20명") == "스물명"
+
+    def test_sino_number_reading(self):
+        # Reference algorithm strips only a *leading* 일 (korean.py:294-295),
+        # so 2017 reads 이천일십칠, not the colloquial 이천십칠.
+        assert normalize_number("2017년") == "이천일십칠년"
+        assert normalize_number("12") == "십이"
+        assert normalize_number("100") == "백"
+        assert normalize_number("1") == "일"
+        assert normalize_number("10000") == "만"
+        assert normalize_number("55") == "오십오"
+
+    def test_negative_float(self):
+        assert normalize_number("-12.35%") == "마이너스 십이쩜 삼오퍼센트"
+
+    def test_zero(self):
+        assert normalize_number("0") == "영"
+
+    def test_units(self):
+        assert normalize_number("10km") == "십킬로미터"
+        assert normalize_number("5m") == "오미터"
+
+    def test_quote_resentencing(self):
+        out = normalize("그가 “좋다” 말했다")
+        assert "'좋다'" in out
+
+
+class TestTokenize:
+    def test_tokenize_appends_eos(self):
+        tokens = tokenize("안녕")
+        assert tokens[-1] == "~"
+
+    def test_tokenize_as_id(self):
+        ids = tokenize("안녕", as_id=True)
+        assert ids[-1] == EOS_ID
+        assert all(isinstance(i, int) for i in ids)
+
+
+class TestCodec:
+    def test_text_to_sequence_shape_and_eos(self):
+        seq = text_to_sequence("안녕하세요")
+        assert seq.dtype == np.int32
+        assert seq[-1] == EOS_ID
+        assert (seq[:-1] != EOS_ID).all()
+        assert (seq != PAD_ID).all()
+        assert (seq < VOCAB_SIZE).all()
+
+    def test_roundtrip_to_korean(self):
+        text = "안녕하세요"
+        seq = text_to_sequence(text)
+        recovered = sequence_to_text(seq, skip_eos_and_pad=True,
+                                     combine_jamo=True)
+        assert recovered == text
+
+    def test_roundtrip_with_punctuation(self):
+        text = "좋다, 정말 좋다!"
+        seq = text_to_sequence(text)
+        recovered = sequence_to_text(seq, skip_eos_and_pad=True,
+                                     combine_jamo=True)
+        assert recovered == text
+
+    def test_as_token_mode(self):
+        assert text_to_sequence("안녕", as_token=True).startswith("안녕")
+
+    def test_arpabet_passthrough_does_not_crash(self):
+        seq = text_to_sequence("안녕 {HH AH0} 하세요")
+        assert seq[-1] == EOS_ID
+
+    def test_vocab_size(self):
+        assert VOCAB_SIZE == 80
+
+
+class TestEnglishNumbers:
+    def test_cardinals(self):
+        assert number_to_words(0) == "zero"
+        assert number_to_words(14) == "fourteen"
+        assert number_to_words(67) == "sixty-seven"
+        assert number_to_words(100) == "one hundred"
+        assert number_to_words(1234567) == \
+            "one million, two hundred thirty-four thousand, five hundred sixty-seven"
+
+    def test_ordinals(self):
+        assert ordinal_to_words(1) == "first"
+        assert ordinal_to_words(2) == "second"
+        assert ordinal_to_words(3) == "third"
+        assert ordinal_to_words(4) == "fourth"
+        assert ordinal_to_words(12) == "twelfth"
+        assert ordinal_to_words(20) == "twentieth"
+        assert ordinal_to_words(21) == "twenty-first"
+        assert ordinal_to_words(100) == "one hundredth"
+
+    def test_years(self):
+        assert year_to_words(1945) == "nineteen forty-five"
+        assert year_to_words(1906) == "nineteen oh six"
+        assert year_to_words(2000) == "two thousand"
+        assert year_to_words(2005) == "two thousand five"
+        assert year_to_words(1900) == "nineteen hundred"
+
+    def test_normalize_numbers_pipeline(self):
+        assert normalize_numbers("I have 2 cats") == "I have two cats"
+        # the trailing cardinal pass also expands the digits the dollar
+        # expansion emits, matching the reference pipeline end-to-end
+        assert normalize_numbers("$5.50") == "five dollars, fifty cents"
+        assert normalize_numbers("£100") == "one hundred pounds"
+        assert normalize_numbers("3.5 miles") == "three point five miles"
+        assert normalize_numbers("the 3rd time") == "the third time"
+        assert normalize_numbers("1,234 items") == \
+            "one thousand, two hundred thirty-four items"
+
+    def test_english_cleaners(self):
+        from tacotron_tpu.text.cleaners import english_cleaners
+        out = english_cleaners("Dr. Smith bought 2 apples for $3.")
+        assert out == "doctor smith bought two apples for three dollars."
