@@ -158,8 +158,11 @@ class TestEnglishNumbers:
         assert normalize_numbers("£100") == "one hundred pounds"
         assert normalize_numbers("3.5 miles") == "three point five miles"
         assert normalize_numbers("the 3rd time") == "the third time"
-        assert normalize_numbers("1,234 items") == \
-            "one thousand, two hundred thirty-four items"
+        # 1000 < 1234 < 3000 takes the year-style two-digit grouping path,
+        # same as the reference's _expand_number (en_numbers.py:47-57)
+        assert normalize_numbers("1,234 items") == "twelve thirty-four items"
+        assert normalize_numbers("4,567 items") == \
+            "four thousand, five hundred sixty-seven items"
 
     def test_english_cleaners(self):
         from tacotron_tpu.text.cleaners import english_cleaners
