@@ -1,0 +1,152 @@
+"""DSP tests: STFT round-trips, host/chip parity, Griffin-Lim SNR."""
+
+import numpy as np
+import pytest
+
+from tacotron_tpu.config import AudioConfig
+from tacotron_tpu.dsp import chip, host
+from tacotron_tpu.dsp.primitives import mel_basis, padded_window
+
+CFG = AudioConfig()
+# Small config keeps CPU-backend tests fast while exercising the same code.
+FAST = AudioConfig(num_freq=257, num_mels=80, sample_rate=16000,
+                   frame_length_ms=32, frame_shift_ms=8, griffin_lim_iters=12)
+
+
+def _test_signal(num_samples: int, sr: int) -> np.ndarray:
+    t = np.arange(num_samples) / sr
+    sig = (0.5 * np.sin(2 * np.pi * 220 * t)
+           + 0.3 * np.sin(2 * np.pi * 440 * t)
+           + 0.1 * np.sin(2 * np.pi * 880 * t))
+    return sig.astype(np.float32)
+
+
+class TestStftParams:
+    def test_derived_params_match_reference(self):
+        # reference audio/__init__.py:118-122 with hparams 24kHz/1025/50ms/12.5ms
+        assert CFG.n_fft == 2048
+        assert CFG.hop_length == 300
+        assert CFG.win_length == 1200
+
+    def test_window_is_centered(self):
+        w = padded_window(1200, 2048)
+        assert w.shape == (2048,)
+        assert w[:424].sum() == 0 and w[-424:].sum() == 0
+        assert w.max() == pytest.approx(1.0, abs=1e-6)
+
+
+class TestMelBasis:
+    def test_shape_and_coverage(self):
+        basis = mel_basis(24000, 2048, 80)
+        assert basis.shape == (80, 1025)
+        # every filter has positive area; all FFT bins inside [fmin, fmax]
+        # are covered by at least one filter
+        assert (basis.sum(axis=1) > 0).all()
+
+    def test_slaney_normalization(self):
+        # Slaney norm makes filter area ~ 2 / bandwidth: peak amplitudes
+        # should decrease with center frequency in the log region
+        basis = mel_basis(24000, 2048, 80)
+        peaks = basis.max(axis=1)
+        assert peaks[10] > peaks[70]
+
+
+class TestHostStft:
+    def test_roundtrip_snr(self):
+        y = _test_signal(FAST.sample_rate, FAST.sample_rate)
+        rec = host.istft(host.stft(y, FAST), FAST)
+        n = min(len(y), len(rec))
+        err = y[:n] - rec[:n]
+        snr = 10 * np.log10(np.sum(y[:n] ** 2) / max(np.sum(err ** 2), 1e-12))
+        assert snr > 40, f"iSTFT round-trip SNR too low: {snr:.1f} dB"
+
+    def test_spectrogram_shapes(self):
+        y = _test_signal(FAST.sample_rate, FAST.sample_rate)
+        lin = host.spectrogram(y, FAST)
+        mel = host.melspectrogram(y, FAST)
+        assert lin.shape[0] == FAST.num_freq
+        assert mel.shape[0] == FAST.num_mels
+        assert lin.shape[1] == mel.shape[1]
+        assert lin.min() >= 0 and lin.max() <= 1
+        assert mel.min() >= 0 and mel.max() <= 1
+
+    def test_preemphasis_roundtrip(self):
+        y = _test_signal(4000, FAST.sample_rate)
+        rec = host.inv_preemphasis(host.preemphasis(y, FAST), FAST)
+        np.testing.assert_allclose(rec, y, atol=1e-5)
+
+
+class TestChipParity:
+    """The JAX chip implementations must match the numpy host ones."""
+
+    def test_stft_parity(self):
+        y = _test_signal(FAST.sample_rate // 2, FAST.sample_rate)
+        host_spec = host.stft(y.astype(np.float64), FAST)  # [F, T]
+        chip_spec = np.asarray(chip.stft(y, FAST))         # [T, F]
+        np.testing.assert_allclose(
+            np.abs(chip_spec.T), np.abs(host_spec), atol=2e-2, rtol=1e-3)
+
+    def test_istft_parity(self):
+        y = _test_signal(FAST.sample_rate // 2, FAST.sample_rate)
+        spec = host.stft(y.astype(np.float64), FAST)
+        host_rec = host.istft(spec, FAST)
+        chip_rec = np.asarray(
+            chip.istft(spec.T.astype(np.complex64), len(host_rec), FAST))
+        np.testing.assert_allclose(chip_rec, host_rec, atol=1e-3)
+
+    def test_feature_parity(self):
+        y = _test_signal(FAST.sample_rate // 2, FAST.sample_rate)
+        np.testing.assert_allclose(
+            np.asarray(chip.melspectrogram(y, FAST)).T,
+            host.melspectrogram(y, FAST), atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(chip.spectrogram(y, FAST)).T,
+            host.spectrogram(y, FAST), atol=2e-3)
+
+    def test_inv_preemphasis_parity(self):
+        y = _test_signal(4000, FAST.sample_rate)
+        np.testing.assert_allclose(
+            np.asarray(chip.inv_preemphasis(y, FAST)),
+            host.inv_preemphasis(y, FAST).astype(np.float32), atol=1e-4)
+
+
+class TestGriffinLim:
+    def test_chip_griffin_lim_reconstructs(self):
+        y = _test_signal(FAST.sample_rate // 2, FAST.sample_rate)
+        spec = host.spectrogram(y, FAST)  # [F, T] normalized
+        wav = np.asarray(chip.linear_to_waveform(spec.T, FAST))
+        assert wav.shape[0] == (spec.shape[1] - 1) * FAST.hop_length
+        assert np.isfinite(wav).all()
+        # the reconstruction must carry the dominant pitch: check spectral
+        # correlation between original and reconstruction
+        orig_mag = np.abs(host.stft(y[: len(wav)], FAST))
+        rec_mag = np.abs(host.stft(wav, FAST))
+        n = min(orig_mag.shape[1], rec_mag.shape[1])
+        corr = np.corrcoef(orig_mag[:, :n].ravel(), rec_mag[:, :n].ravel())[0, 1]
+        assert corr > 0.8, f"GL reconstruction spectral corr {corr:.3f}"
+
+    def test_host_griffin_lim_deterministic(self):
+        y = _test_signal(FAST.sample_rate // 4, FAST.sample_rate)
+        spec = host.spectrogram(y, FAST)
+        wav1 = host.inv_spectrogram(spec, FAST)
+        wav2 = host.inv_spectrogram(spec, FAST)
+        np.testing.assert_array_equal(wav1, wav2)
+
+    def test_batched_inversion(self):
+        y = _test_signal(FAST.sample_rate // 4, FAST.sample_rate)
+        spec = host.spectrogram(y, FAST).T[None]  # [1, T, F]
+        batch = np.concatenate([spec, spec], axis=0)
+        wavs = np.asarray(chip.batched_linear_to_waveform(batch, FAST))
+        assert wavs.shape[0] == 2
+        np.testing.assert_allclose(wavs[0], wavs[1], atol=1e-5)
+
+
+class TestAudioIO:
+    def test_save_load_roundtrip(self, tmp_path):
+        y = _test_signal(8000, FAST.sample_rate)
+        path = str(tmp_path / "test.wav")
+        host.save_audio(y, path, FAST)
+        loaded = host.load_audio(path, FAST)
+        assert abs(len(loaded) - len(y)) < 4
+        corr = np.corrcoef(loaded[: len(y)], y[: len(loaded)])[0, 1]
+        assert corr > 0.99
