@@ -60,6 +60,11 @@ class ModelConfig:
     num_speakers: int = 1
     speaker_embedding_size: int = 16
 
+    # Output dimensions; must agree with AudioConfig.num_mels / num_freq
+    # (reference ``hparams.py:16-17`` keeps one copy in the global dict).
+    num_mels: int = 80
+    num_freq: int = 1025
+
     embedding_size: int = 256
     dropout_prob: float = 0.8
 

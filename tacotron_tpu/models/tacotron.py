@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import ModelConfig
-from ..ops.attention import make_attention
+from ..ops.attention import initial_alignments, make_attention
 from ..ops.rnn import GRUCell
 from ..text.symbols import VOCAB_SIZE
 from .modules import CBHG, Prenet, SpeakerEmbedding
@@ -59,13 +59,13 @@ class DecoderCarry(NamedTuple):
 
 
 class SpeakerConditioning(NamedTuple):
-    """Per-site speaker injections (empty tuples when unused)."""
+    """Per-site speaker injections (None when unused)."""
 
-    embed: Any = ()                 # [N, E] for 'simple'
-    before_highway: Any = ()        # [N, enc_prenet[-1]]
-    encoder_rnn_init: Any = ()      # [N, 2*enc_rnn_size]
-    attention_rnn_init: Any = ()    # [N, attention_state_size]
-    decoder_rnn_inits: Any = ()     # tuple of [N, dec_rnn_size]
+    embed: Any = None               # [N, E] for 'simple'
+    before_highway: Any = None      # [N, enc_prenet[-1]]
+    encoder_rnn_init: Any = None    # [N, 2*enc_rnn_size]
+    attention_rnn_init: Any = None  # [N, attention_state_size]
+    decoder_rnn_inits: Any = None   # tuple of [N, dec_rnn_size]
 
 
 class DecoderStep(nn.Module):
@@ -138,68 +138,6 @@ class Tacotron(nn.Module):
     cfg: ModelConfig
     vocab_size: int = VOCAB_SIZE
 
-    def setup(self):
-        cfg = self.cfg
-        self.char_embedding = nn.Embed(
-            self.vocab_size, cfg.embedding_size,
-            embedding_init=nn.initializers.truncated_normal(stddev=0.5),
-            name="char_embedding")
-        self.encoder_prenet = Prenet(cfg.enc_prenet_sizes, cfg.dropout_prob,
-                                     name="encoder_prenet")
-        self.encoder_cbhg = CBHG(
-            cfg.enc_bank_size, cfg.enc_bank_channel_size, cfg.enc_maxpool_width,
-            cfg.enc_highway_depth, cfg.enc_rnn_size, cfg.enc_proj_sizes,
-            cfg.enc_proj_width, name="encoder_cbhg")
-        self.attention = make_attention(cfg.attention_type, cfg.attention_size)
-        self.post_cbhg = CBHG(
-            cfg.post_bank_size, cfg.post_bank_channel_size,
-            cfg.post_maxpool_width, cfg.post_highway_depth, cfg.post_rnn_size,
-            cfg.post_proj_sizes, cfg.post_proj_width, name="post_cbhg")
-        self.linear_projection = nn.Dense(cfg.num_freq,
-                                          name="linear_projection")
-
-        if cfg.num_speakers > 1:
-            if cfg.model_type == "deepvoice":
-                if cfg.speaker_embedding_size == 1:
-                    # raw per-site embedding tables (tacotron.py:52-66)
-                    init = nn.initializers.truncated_normal(stddev=0.1)
-                    self.site_before_highway = nn.Embed(
-                        cfg.num_speakers, cfg.enc_prenet_sizes[-1],
-                        embedding_init=init, name="before_highway")
-                    self.site_encoder_rnn_init = nn.Embed(
-                        cfg.num_speakers, cfg.enc_rnn_size * 2,
-                        embedding_init=init, name="encoder_rnn_init_state")
-                    self.site_attention_rnn_init = nn.Embed(
-                        cfg.num_speakers, cfg.attention_state_size,
-                        embedding_init=init, name="attention_rnn_init_state")
-                    self.site_decoder_rnn_inits = [
-                        nn.Embed(cfg.num_speakers, cfg.dec_rnn_size,
-                                 embedding_init=init,
-                                 name=f"decoder_rnn_init_states_{i + 1}")
-                        for i in range(cfg.dec_layer_num)]
-                else:
-                    self.speaker_embedding = SpeakerEmbedding(
-                        cfg.num_speakers, cfg.speaker_embedding_size,
-                        name="speaker_embedding")
-                    self.dense_before_highway = nn.Dense(
-                        cfg.enc_prenet_sizes[-1], name="deep_before_highway")
-                    self.dense_encoder_rnn_init = nn.Dense(
-                        cfg.enc_rnn_size * 2, name="deep_encoder_rnn_init")
-                    self.dense_attention_rnn_init = nn.Dense(
-                        cfg.attention_state_size, name="deep_attention_rnn_init")
-                    self.dense_decoder_rnn_inits = [
-                        nn.Dense(cfg.dec_rnn_size,
-                                 name=f"deep_decoder_rnn_init_{i + 1}")
-                        for i in range(cfg.dec_layer_num)]
-            elif cfg.model_type == "simple":
-                self.speaker_embedding = SpeakerEmbedding(
-                    cfg.num_speakers, cfg.speaker_embedding_size,
-                    name="speaker_embedding")
-            else:
-                raise ValueError(
-                    f"multi-speaker requires model_type 'deepvoice' or "
-                    f"'simple', got {cfg.model_type!r}")
-
     # ------------------------------------------------------------ speaker
 
     def _speaker_conditioning(
@@ -209,38 +147,70 @@ class Tacotron(nn.Module):
             return SpeakerConditioning()
         if cfg.model_type == "simple":
             return SpeakerConditioning(
-                embed=self.speaker_embedding(speaker_id))
-        # deepvoice
+                embed=SpeakerEmbedding(
+                    cfg.num_speakers, cfg.speaker_embedding_size,
+                    name="speaker_embedding")(speaker_id))
+        if cfg.model_type != "deepvoice":
+            raise ValueError(
+                f"multi-speaker requires model_type 'deepvoice' or "
+                f"'simple', got {cfg.model_type!r}")
         if cfg.speaker_embedding_size == 1:
+            # raw per-site embedding tables (reference tacotron.py:52-66)
+            init = nn.initializers.truncated_normal(stddev=0.1)
             return SpeakerConditioning(
-                before_highway=self.site_before_highway(speaker_id),
-                encoder_rnn_init=self.site_encoder_rnn_init(speaker_id),
-                attention_rnn_init=self.site_attention_rnn_init(speaker_id),
+                before_highway=nn.Embed(
+                    cfg.num_speakers, cfg.enc_prenet_sizes[-1],
+                    embedding_init=init, name="before_highway")(speaker_id),
+                encoder_rnn_init=nn.Embed(
+                    cfg.num_speakers, cfg.enc_rnn_size * 2,
+                    embedding_init=init,
+                    name="encoder_rnn_init_state")(speaker_id),
+                attention_rnn_init=nn.Embed(
+                    cfg.num_speakers, cfg.attention_state_size,
+                    embedding_init=init,
+                    name="attention_rnn_init_state")(speaker_id),
                 decoder_rnn_inits=tuple(
-                    site(speaker_id) for site in self.site_decoder_rnn_inits))
-        embed = self.speaker_embedding(speaker_id)
+                    nn.Embed(cfg.num_speakers, cfg.dec_rnn_size,
+                             embedding_init=init,
+                             name=f"decoder_rnn_init_states_{i + 1}")(
+                                 speaker_id)
+                    for i in range(cfg.dec_layer_num)))
+        embed = SpeakerEmbedding(cfg.num_speakers, cfg.speaker_embedding_size,
+                                 name="speaker_embedding")(speaker_id)
         softsign = jax.nn.soft_sign
         return SpeakerConditioning(
-            before_highway=softsign(self.dense_before_highway(embed)),
-            encoder_rnn_init=softsign(self.dense_encoder_rnn_init(embed)),
-            attention_rnn_init=softsign(self.dense_attention_rnn_init(embed)),
+            before_highway=softsign(nn.Dense(
+                cfg.enc_prenet_sizes[-1], name="deep_before_highway")(embed)),
+            encoder_rnn_init=softsign(nn.Dense(
+                cfg.enc_rnn_size * 2, name="deep_encoder_rnn_init")(embed)),
+            attention_rnn_init=softsign(nn.Dense(
+                cfg.attention_state_size,
+                name="deep_attention_rnn_init")(embed)),
             decoder_rnn_inits=tuple(
-                softsign(dense(embed))
-                for dense in self.dense_decoder_rnn_inits))
+                softsign(nn.Dense(
+                    cfg.dec_rnn_size,
+                    name=f"deep_decoder_rnn_init_{i + 1}")(embed))
+                for i in range(cfg.dec_layer_num)))
 
     # ------------------------------------------------------------ encoder
 
     def encode(self, inputs: jnp.ndarray, input_lengths: jnp.ndarray,
                cond: SpeakerConditioning, train: bool) -> jnp.ndarray:
         """Token ids [N, T_in] -> encoder memory [N, T_in, 2*enc_rnn_size]."""
-        embedded = self.char_embedding(inputs)
-        pre = self.encoder_prenet(embedded, train)
-        return self.encoder_cbhg(
-            pre, input_lengths, train,
-            before_highway=(cond.before_highway
-                            if cond.before_highway is not () else None),
-            rnn_init_state=(cond.encoder_rnn_init
-                            if cond.encoder_rnn_init is not () else None))
+        cfg = self.cfg
+        embedded = nn.Embed(
+            self.vocab_size, cfg.embedding_size,
+            embedding_init=nn.initializers.truncated_normal(stddev=0.5),
+            name="char_embedding")(inputs)
+        pre = Prenet(cfg.enc_prenet_sizes, cfg.dropout_prob,
+                     name="encoder_prenet")(embedded, train)
+        return CBHG(
+            cfg.enc_bank_size, cfg.enc_bank_channel_size, cfg.enc_maxpool_width,
+            cfg.enc_highway_depth, cfg.enc_rnn_size, cfg.enc_proj_sizes,
+            cfg.enc_proj_width, name="encoder_cbhg")(
+                pre, input_lengths, train,
+                before_highway=cond.before_highway,
+                rnn_init_state=cond.encoder_rnn_init)
 
     # ------------------------------------------------------------ decoder
 
@@ -250,21 +220,23 @@ class Tacotron(nn.Module):
         cfg = self.cfg
         N, T_in, memory_dim = memory.shape
         dtype = memory.dtype
-        attn_init = (cond.attention_rnn_init if cond.attention_rnn_init is not ()
+        attn_init = (cond.attention_rnn_init
+                     if cond.attention_rnn_init is not None
                      else jnp.zeros((N, cfg.attention_state_size), dtype))
-        dec_inits = (cond.decoder_rnn_inits if cond.decoder_rnn_inits is not ()
+        dec_inits = (cond.decoder_rnn_inits
+                     if cond.decoder_rnn_inits is not None
                      else tuple(jnp.zeros((N, cfg.dec_rnn_size), dtype)
                                 for _ in range(cfg.dec_layer_num)))
         return DecoderCarry(
             attn_state=attn_init,
             context=jnp.zeros((N, memory_dim), dtype),
-            alignments=self.attention.initial_alignments(N, T_in, dtype),
+            alignments=initial_alignments(cfg.attention_type, N, T_in, dtype),
             dec_states=dec_inits,
             prev_frame=jnp.zeros((N, cfg.num_mels), dtype),
             keys=keys,
             values=memory,
             speaker=cond.embed,
-            is_manual=(is_manual if is_manual is not None else ()))
+            is_manual=is_manual)
 
     def _run_decoder(self, memory: jnp.ndarray, num_steps: int,
                      decoder_inputs: Optional[jnp.ndarray],
@@ -277,7 +249,10 @@ class Tacotron(nn.Module):
         greedy = decoder_inputs is None
         N = memory.shape[0]
 
-        keys = self.attention.prepare(memory)
+        # One-time encoder-memory key projection (TF's attention
+        # ``memory_layer``), hoisted out of the decode scan.
+        keys = nn.Dense(cfg.attention_size, use_bias=False,
+                        name="attention_memory_layer")(memory)
         carry = self._initial_carry(memory, keys, cond, is_manual)
 
         if greedy:
@@ -289,7 +264,6 @@ class Tacotron(nn.Module):
         scan = nn.scan(
             DecoderStep,
             variable_broadcast="params",
-            variable_axes={"batch_stats": None},
             split_rngs={"params": False, "dropout": True},
             in_axes=1, out_axes=1)
         step = scan(cfg, greedy=greedy, train=train, name="decoder")
@@ -298,6 +272,7 @@ class Tacotron(nn.Module):
 
     # ------------------------------------------------------------- forward
 
+    @nn.compact
     def __call__(self, inputs: jnp.ndarray, input_lengths: jnp.ndarray,
                  speaker_id: Optional[jnp.ndarray] = None,
                  mel_targets: Optional[jnp.ndarray] = None,
@@ -335,13 +310,17 @@ class Tacotron(nn.Module):
         N = inputs.shape[0]
         mel_outputs = frames.reshape(N, num_steps * r, cfg.num_mels)
 
-        post = self.post_cbhg(mel_outputs, None, train)
+        post = CBHG(
+            cfg.post_bank_size, cfg.post_bank_channel_size,
+            cfg.post_maxpool_width, cfg.post_highway_depth, cfg.post_rnn_size,
+            cfg.post_proj_sizes, cfg.post_proj_width,
+            name="post_cbhg")(mel_outputs, None, train)
         if cfg.model_type == "simple" and cfg.num_speakers > 1:
             tiled = jnp.broadcast_to(
                 cond.embed[:, None, :],
                 (N, post.shape[1], cond.embed.shape[-1]))
             post = jnp.concatenate([tiled, post], axis=-1)
-        linear_outputs = self.linear_projection(post)
+        linear_outputs = nn.Dense(cfg.num_freq, name="linear_projection")(post)
 
         return {
             "mel_outputs": mel_outputs,

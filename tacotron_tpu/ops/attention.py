@@ -13,10 +13,10 @@ selects between (``/root/reference/models/tacotron.py:132-152``):
   weight-normalized score of Ba et al.
 - ``luong`` / ``luong_scaled``  multiplicative attention.
 
-Design note: each mechanism is split into a one-time ``prepare`` (key
-projection of the encoder memory — hoisted out of the decode loop so the
-[N, T_in, D] matmul runs once) and a per-step ``__call__`` used inside
-``lax.scan``.
+Design note: the mechanisms here are the *per-step* scoring modules used
+inside ``lax.scan``; the one-time key projection of the encoder memory
+(TF's ``memory_layer``) lives in the model (``models/tacotron.py``) so the
+[N, T_in, D] matmul is hoisted out of the decode loop and runs once.
 """
 
 from __future__ import annotations
@@ -54,11 +54,6 @@ class BahdanauMonotonicAttention(nn.Module):
     num_units: int
     param_dtype: jnp.dtype = jnp.float32
 
-    def prepare(self, memory: jnp.ndarray) -> jnp.ndarray:
-        """One-time key projection: [N, T_in, D] -> [N, T_in, num_units]."""
-        return nn.Dense(self.num_units, use_bias=False, name="memory_layer",
-                        param_dtype=self.param_dtype, dtype=memory.dtype)(memory)
-
     @nn.compact
     def __call__(self, query: jnp.ndarray, keys: jnp.ndarray,
                  previous_alignments: jnp.ndarray) -> jnp.ndarray:
@@ -76,14 +71,6 @@ class BahdanauMonotonicAttention(nn.Module):
         p_choose = jax.nn.sigmoid(score + score_bias.astype(query.dtype))
         return monotonic_alignments(p_choose, previous_alignments)
 
-    @staticmethod
-    def initial_alignments(batch: int, length: int,
-                           dtype=jnp.float32) -> jnp.ndarray:
-        """Dirac at position 0 (monotonic attention starts at the first
-        encoder step)."""
-        return jax.nn.one_hot(jnp.zeros((batch,), jnp.int32), length,
-                              dtype=dtype)
-
 
 class BahdanauAttention(nn.Module):
     """Additive softmax attention; ``normalize=True`` adds weight-normalized
@@ -92,10 +79,6 @@ class BahdanauAttention(nn.Module):
     num_units: int
     normalize: bool = False
     param_dtype: jnp.dtype = jnp.float32
-
-    def prepare(self, memory: jnp.ndarray) -> jnp.ndarray:
-        return nn.Dense(self.num_units, use_bias=False, name="memory_layer",
-                        param_dtype=self.param_dtype, dtype=memory.dtype)(memory)
 
     @nn.compact
     def __call__(self, query: jnp.ndarray, keys: jnp.ndarray,
@@ -123,11 +106,6 @@ class BahdanauAttention(nn.Module):
                 -1)
         return jax.nn.softmax(score, axis=-1)
 
-    @staticmethod
-    def initial_alignments(batch: int, length: int,
-                           dtype=jnp.float32) -> jnp.ndarray:
-        return jnp.zeros((batch, length), dtype=dtype)
-
 
 class LuongAttention(nn.Module):
     """Multiplicative attention: score = query . W memory."""
@@ -135,10 +113,6 @@ class LuongAttention(nn.Module):
     num_units: int
     scale: bool = False
     param_dtype: jnp.dtype = jnp.float32
-
-    def prepare(self, memory: jnp.ndarray) -> jnp.ndarray:
-        return nn.Dense(self.num_units, use_bias=False, name="memory_layer",
-                        param_dtype=self.param_dtype, dtype=memory.dtype)(memory)
 
     @nn.compact
     def __call__(self, query: jnp.ndarray, keys: jnp.ndarray,
@@ -151,24 +125,30 @@ class LuongAttention(nn.Module):
             score = g.astype(query.dtype) * score
         return jax.nn.softmax(score, axis=-1)
 
-    @staticmethod
-    def initial_alignments(batch: int, length: int,
-                           dtype=jnp.float32) -> jnp.ndarray:
-        return jnp.zeros((batch, length), dtype=dtype)
+
+def initial_alignments(attention_type: str, batch: int, length: int,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """Initial alignment state: a Dirac at encoder position 0 for monotonic
+    attention (TF ``BahdanauMonotonicAttention.initial_alignments``), zeros
+    for the memoryless softmax mechanisms."""
+    if attention_type == "bah_mon":
+        return jax.nn.one_hot(jnp.zeros((batch,), jnp.int32), length,
+                              dtype=dtype)
+    return jnp.zeros((batch, length), dtype=dtype)
 
 
 def make_attention(attention_type: str, num_units: int,
-                   param_dtype=jnp.float32) -> nn.Module:
+                   param_dtype=jnp.float32, name=None) -> nn.Module:
     """Mechanism factory keyed by the reference's ``attention_type`` strings
     (``models/tacotron.py:132-152``)."""
     if attention_type == "bah_mon":
-        return BahdanauMonotonicAttention(num_units, param_dtype)
+        return BahdanauMonotonicAttention(num_units, param_dtype, name=name)
     if attention_type == "bah":
-        return BahdanauAttention(num_units, False, param_dtype)
+        return BahdanauAttention(num_units, False, param_dtype, name=name)
     if attention_type == "bah_norm":
-        return BahdanauAttention(num_units, True, param_dtype)
+        return BahdanauAttention(num_units, True, param_dtype, name=name)
     if attention_type == "luong":
-        return LuongAttention(num_units, False, param_dtype)
+        return LuongAttention(num_units, False, param_dtype, name=name)
     if attention_type == "luong_scaled":
-        return LuongAttention(num_units, True, param_dtype)
+        return LuongAttention(num_units, True, param_dtype, name=name)
     raise ValueError(f"Unknown attention type: {attention_type}")

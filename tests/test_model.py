@@ -1,0 +1,169 @@
+"""Model-level tests: shapes for every variant, fused conv-bank equivalence,
+monotonic-attention recurrence, GRU semantics, manual-alignment override.
+
+Mirrors the dimension banner the reference logs at graph-build time
+(/root/reference/models/tacotron.py:253-271) as executable assertions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tacotron_tpu.config import ModelConfig
+from tacotron_tpu.models.modules import ConvBank
+from tacotron_tpu.models.tacotron import Tacotron
+from tacotron_tpu.ops.attention import monotonic_alignments
+from tacotron_tpu.ops.rnn import GRUCell
+
+
+RNG = jax.random.PRNGKey(0)
+
+
+def _data(N=2, T_in=40, T_out=48, num_mels=80):
+    k1, k2 = jax.random.split(RNG)
+    inputs = jax.random.randint(k1, (N, T_in), 0, 80)
+    lengths = jnp.array([T_in, T_in - 10][:N])
+    mels = jax.random.uniform(k2, (N, T_out, num_mels))
+    return inputs, lengths, mels
+
+
+@pytest.mark.parametrize("model_type,emb", [
+    ("single", 16), ("deepvoice", 16), ("deepvoice", 1), ("simple", 16)])
+def test_forward_shapes(model_type, emb):
+    n_spk = 1 if model_type == "single" else 3
+    cfg = ModelConfig(model_type=model_type, num_speakers=n_spk,
+                      speaker_embedding_size=emb)
+    model = Tacotron(cfg)
+    inputs, lengths, mels = _data()
+    spk = None if model_type == "single" else jnp.array([0, 2])
+    variables = model.init({"params": RNG, "dropout": RNG}, inputs, lengths,
+                           speaker_id=spk, mel_targets=mels, train=True)
+    out, _ = model.apply(variables, inputs, lengths, speaker_id=spk,
+                         mel_targets=mels, train=True,
+                         rngs={"dropout": RNG}, mutable=["batch_stats"])
+    assert out["mel_outputs"].shape == (2, 48, 80)
+    assert out["linear_outputs"].shape == (2, 48, 1025)
+    # alignments are [N, T_in, T_dec] like the reference (tacotron.py:237-239)
+    assert out["alignments"].shape == (2, 40, 48 // cfg.reduction_factor)
+
+    out2 = model.apply(variables, inputs, lengths, speaker_id=spk,
+                       train=False, max_steps=8)
+    assert out2["mel_outputs"].shape == (2, 8 * cfg.reduction_factor, 80)
+
+
+def test_greedy_matches_teacher_forced_on_own_outputs():
+    """With dropout off, feeding the greedy decode's own emitted frames as
+    teacher-forcing targets must reproduce the greedy decode exactly —
+    the two modes are the same scan with a different input source."""
+    cfg = ModelConfig()
+    model = Tacotron(cfg)
+    inputs, lengths, _ = _data()
+    variables = model.init({"params": RNG, "dropout": RNG}, inputs, lengths,
+                           mel_targets=None, train=False, max_steps=6)
+    greedy = model.apply(variables, inputs, lengths, train=False, max_steps=6)
+    forced = model.apply(variables, inputs, lengths,
+                         mel_targets=greedy["mel_outputs"], train=False)
+    np.testing.assert_allclose(np.asarray(greedy["mel_outputs"]),
+                               np.asarray(forced["mel_outputs"]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv_bank_fused_equals_separate():
+    """The fused wide-kernel bank must equal K independent SAME convs
+    concatenated channel-wise (reference modules.py:35-44)."""
+    K, C, T, F = 5, 7, 12, 4
+    bank = ConvBank(K, C)
+    x = jax.random.normal(RNG, (2, T, F))
+    variables = bank.init(RNG, x)
+    fused = bank.apply(variables, x)
+
+    outs = []
+    for k in range(1, K + 1):
+        kernel = variables["params"][f"kernel_{k}"]
+        pad_left = (k - 1) // 2
+        out = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1,),
+            padding=[(pad_left, k - 1 - pad_left)],
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        outs.append(out)
+    separate = jnp.concatenate(outs, axis=-1) + variables["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(separate),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_monotonic_alignments_recurrence():
+    """Parallel closed form must match the sequential Raffel (2017)
+    recurrence alpha_i = p_i * ((1-p_{i-1}) alpha'_{i-1}/p... computed
+    step by step."""
+    rng = np.random.default_rng(0)
+    p = rng.uniform(0.01, 0.99, size=(3, 9)).astype(np.float32)
+    prev = rng.uniform(size=(3, 9)).astype(np.float32)
+    prev /= prev.sum(-1, keepdims=True)
+
+    got = np.asarray(monotonic_alignments(jnp.asarray(p), jnp.asarray(prev)))
+
+    # sequential reference: q_i = (1 - p_{i-1}) q_{i-1} + prev_{i-1} ;
+    # alpha_i = p_i q_i   with q_0 = prev carried in. Equivalent to the
+    # closed form alpha = p * cumprod_{j<i}(1-p_j) * cumsum(prev/cumprod).
+    N, T = p.shape
+    want = np.zeros_like(p)
+    for n in range(N):
+        q = 0.0
+        for i in range(T):
+            # alpha_i = p_i * sum_{k<=i} prev_k prod_{k<=j<i}(1-p_j)
+            s = 0.0
+            for k in range(i + 1):
+                prod = np.prod(1.0 - p[n, k:i])
+                s += prev[n, k] * prod
+            want[n, i] = p[n, i] * s
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_gru_cell_tf_semantics():
+    """Gate math matches TF1 GRUCell: [r,u]=sigmoid(W[x,h]+1),
+    c=tanh(Wc[x, r*h]), h'=u*h+(1-u)*c."""
+    cell = GRUCell(4)
+    x = jax.random.normal(RNG, (3, 5))
+    h = jax.random.normal(jax.random.PRNGKey(1), (3, 4))
+    variables = cell.init(RNG, h, x)
+    new_h, out = cell.apply(variables, h, x)
+    assert np.asarray(new_h == out).all()
+
+    p = variables["params"]
+    gi = np.concatenate([np.asarray(x), np.asarray(h)], -1)
+    gates = 1 / (1 + np.exp(-(gi @ np.asarray(p["gates"]["kernel"])
+                              + np.asarray(p["gates"]["bias"]))))
+    r, u = np.split(gates, 2, axis=-1)
+    ci = np.concatenate([np.asarray(x), r * np.asarray(h)], -1)
+    c = np.tanh(ci @ np.asarray(p["candidate"]["kernel"])
+                + np.asarray(p["candidate"]["bias"]))
+    want = u * np.asarray(h) + (1 - u) * c
+    np.testing.assert_allclose(np.asarray(new_h), want, rtol=1e-5, atol=1e-6)
+
+
+def test_manual_alignment_override():
+    """is_manual=True must substitute the provided alignments for the
+    computed ones (reference rnn_wrappers.py:313-317)."""
+    cfg = ModelConfig()
+    model = Tacotron(cfg)
+    inputs, lengths, mels = _data()
+    T_dec = mels.shape[1] // cfg.reduction_factor
+    manual = jax.nn.one_hot(
+        jnp.tile(jnp.arange(T_dec) % inputs.shape[1], (2, 1)),
+        inputs.shape[1])
+    variables = model.init(
+        {"params": RNG, "dropout": RNG}, inputs, lengths, mel_targets=mels,
+        train=False, manual_alignments=manual, is_manual=jnp.array(True))
+    out_manual = model.apply(
+        variables, inputs, lengths, mel_targets=mels, train=False,
+        manual_alignments=manual, is_manual=jnp.array(True))
+    np.testing.assert_allclose(
+        np.asarray(out_manual["alignments"]),
+        np.asarray(jnp.transpose(manual, (0, 2, 1))), atol=1e-6)
+
+    out_auto = model.apply(
+        variables, inputs, lengths, mel_targets=mels, train=False,
+        manual_alignments=manual, is_manual=jnp.array(False))
+    assert not np.allclose(np.asarray(out_auto["alignments"]),
+                           np.asarray(jnp.transpose(manual, (0, 2, 1))))
