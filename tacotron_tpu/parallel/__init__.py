@@ -1,0 +1,19 @@
+"""Device-mesh and sharding layer.
+
+The reference is single-process/single-device (SURVEY.md §2.5) — this package
+is the new, first-class scale-out component: a ``jax.sharding.Mesh`` with a
+``data`` axis (DP over ICI) and an optional ``model`` axis, NamedShardings for
+batches and replicated state, and helpers for multi-host initialization.
+
+XLA inserts the gradient all-reduce (ring reduce-scatter + all-gather over
+ICI) automatically from the sharding annotations on the jitted train step —
+there is no hand-written collective here, by design.
+"""
+
+from .mesh import (MeshPlan, batch_sharding, local_batch_slice, make_mesh,
+                   replicated_sharding, shard_batch)
+
+__all__ = [
+    "MeshPlan", "batch_sharding", "local_batch_slice", "make_mesh",
+    "replicated_sharding", "shard_batch",
+]

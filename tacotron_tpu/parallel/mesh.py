@@ -1,0 +1,93 @@
+"""Mesh construction and sharding rules.
+
+Layout: a 2-D logical mesh ``(data, model)``.  At Tacotron scale (~10 M
+params) the model always fits one chip, so ``model=1`` by default and every
+chip holds a full replica; the batch is sharded over ``data``.  The ``model``
+axis exists so wide projections (e.g. the 1025-bin linear head) *can* be
+tensor-sharded on narrow-HBM parts without touching call sites.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MeshConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshPlan:
+    """A mesh plus the partition rules derived from it."""
+
+    mesh: Mesh
+    data_axis: str
+    model_axis: str
+
+    @property
+    def data_size(self) -> int:
+        return self.mesh.shape[self.data_axis]
+
+    def batch(self) -> NamedSharding:
+        """Leading-axis (batch) sharding over the data axis."""
+        return NamedSharding(self.mesh, P(self.data_axis))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+
+def make_mesh(config: MeshConfig = MeshConfig(),
+              devices: Optional[Sequence[jax.Device]] = None) -> MeshPlan:
+    """Build the (data, model) mesh from the available devices.
+
+    ``data_parallelism == -1`` consumes all devices not used by the model
+    axis.  Device order follows ``jax.devices()`` so that the data axis maps
+    to contiguous ICI neighbors on a pod slice.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    model = max(1, config.model_parallelism)
+    if len(devices) % model:
+        raise ValueError(
+            f"{len(devices)} devices not divisible by model_parallelism "
+            f"{model}")
+    data = (len(devices) // model if config.data_parallelism == -1
+            else config.data_parallelism)
+    if data * model != len(devices):
+        devices = devices[:data * model]
+    grid = np.asarray(devices).reshape(data, model)
+    mesh = Mesh(grid, (config.data_axis, config.model_axis))
+    return MeshPlan(mesh=mesh, data_axis=config.data_axis,
+                    model_axis=config.model_axis)
+
+
+def batch_sharding(plan: MeshPlan) -> NamedSharding:
+    return plan.batch()
+
+
+def replicated_sharding(plan: MeshPlan) -> NamedSharding:
+    return plan.replicated()
+
+
+def shard_batch(plan: MeshPlan, batch: Any) -> Any:
+    """Place a host-resident batch pytree onto the mesh, sharded on the
+    leading axis (the DataFeeder's successor to ``sess.run(enqueue)``)."""
+    sharding = plan.batch()
+    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding),
+                        batch)
+
+
+def local_batch_slice(plan: MeshPlan, global_batch: int,
+                      process_index: Optional[int] = None) -> slice:
+    """Which rows of the global batch this host is responsible for feeding
+    (per-host input sharding for multi-host DP)."""
+    procs = jax.process_count()
+    idx = jax.process_index() if process_index is None else process_index
+    if global_batch % procs:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"{procs} processes")
+    per = global_batch // procs
+    return slice(idx * per, (idx + 1) * per)

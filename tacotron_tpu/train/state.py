@@ -1,0 +1,58 @@
+"""Train state: params, BatchNorm running stats, optimizer state, step.
+
+A plain pytree dataclass (flax.struct) so it shards/checkpoints/jits
+transparently — the successor to the reference's TF Session variables +
+``global_step`` (``/root/reference/train.py:145-206``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import Config
+from ..models.tacotron import Tacotron
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_model(config: Config) -> Tacotron:
+    """Model registry (reference ``models/__init__.py:6-7``)."""
+    return Tacotron(config.model)
+
+
+def create_train_state(config: Config, rng: jax.Array,
+                       optimizer: optax.GradientTransformation,
+                       max_input_len: int = 64,
+                       batch_size: int = 2) -> TrainState:
+    """Initialize parameters with dummy shapes (shapes don't leak into the
+    params, so any static shape works) and wrap them in a TrainState."""
+    model = create_model(config)
+    r = config.model.reduction_factor
+    inputs = jnp.zeros((batch_size, max_input_len), jnp.int32)
+    lengths = jnp.full((batch_size,), max_input_len, jnp.int32)
+    mels = jnp.zeros((batch_size, 8 * r, config.model.num_mels), jnp.float32)
+    speaker = (jnp.zeros((batch_size,), jnp.int32)
+               if config.model.num_speakers > 1 else None)
+    init_rng, dropout_rng = jax.random.split(rng)
+    variables = model.init({"params": init_rng, "dropout": dropout_rng},
+                           inputs, lengths, speaker_id=speaker,
+                           mel_targets=mels, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+    )

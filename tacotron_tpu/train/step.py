@@ -1,0 +1,145 @@
+"""The jitted, mesh-sharded train/eval steps.
+
+TPU-native successor to the reference's ``sess.run([global_step, loss,
+optimize])`` hot loop (``/root/reference/train.py:215-230``): one pure
+function, compiled once per bucket shape, with
+
+- batch sharded over the mesh ``data`` axis (NamedSharding on the leading
+  dim), parameters/optimizer state replicated;
+- gradients reduced across replicas by XLA-inserted collectives (ring
+  all-reduce over ICI) — no hand-written NCCL analog;
+- BatchNorm running stats updated functionally (the UPDATE_OPS dependency at
+  ``models/tacotron.py:332-336`` becomes an explicit state output), with the
+  cross-replica mean of the per-replica stats;
+- loss-explosion detection returned as a value (``train.py:228-230`` raises
+  on loss > 100 or NaN) so the host can react without a device sync.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..models.tacotron import Tacotron
+from ..parallel import MeshPlan
+from .losses import tacotron_loss
+from .optim import learning_rate_schedule, make_optimizer
+from .state import TrainState
+
+
+class Batch(NamedTuple):
+    """One training batch (the DataFeeder contract,
+    reference ``datasets/datafeeder.py:162-178``)."""
+
+    inputs: jnp.ndarray          # [N, T_in] int32 token ids
+    input_lengths: jnp.ndarray   # [N] int32
+    loss_coeff: jnp.ndarray      # [N] float32
+    mel_targets: jnp.ndarray     # [N, T_out, num_mels]
+    linear_targets: jnp.ndarray  # [N, T_out, num_freq]
+    speaker_id: jnp.ndarray      # [N] int32
+
+
+def _forward_loss(model: Tacotron, config: Config, params, batch_stats,
+                  batch: Batch, dropout_rng, train: bool):
+    variables = {"params": params, "batch_stats": batch_stats}
+    speaker = batch.speaker_id if config.model.num_speakers > 1 else None
+    if train:
+        out, mutated = model.apply(
+            variables, batch.inputs, batch.input_lengths, speaker_id=speaker,
+            mel_targets=batch.mel_targets, train=True,
+            rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
+    else:
+        out = model.apply(
+            variables, batch.inputs, batch.input_lengths, speaker_id=speaker,
+            mel_targets=batch.mel_targets, train=False)
+        new_stats = batch_stats
+    losses = tacotron_loss(out["mel_outputs"], out["linear_outputs"],
+                           batch.mel_targets, batch.linear_targets,
+                           batch.loss_coeff, config.train, config.audio)
+    return losses, out, new_stats
+
+
+def make_train_step(config: Config, plan: Optional[MeshPlan] = None,
+                    randomly_initialized: bool = True):
+    """Returns ``step_fn(state, batch, rng) -> (state, metrics)``, jitted.
+
+    With a mesh plan, in/out shardings are annotated so the same function is
+    the single-chip and the multi-chip program.
+    """
+    model = Tacotron(config.model)
+    optimizer = make_optimizer(config.train, randomly_initialized)
+    schedule = learning_rate_schedule(config.train, randomly_initialized)
+
+    def step_fn(state: TrainState, batch: Batch,
+                dropout_rng: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:
+        rng = jax.random.fold_in(dropout_rng, state.step)
+
+        def loss_fn(params):
+            losses, _, new_stats = _forward_loss(
+                model, config, params, state.batch_stats, batch, rng,
+                train=True)
+            return losses["loss"], (losses, new_stats)
+
+        grads, (losses, new_stats) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        grad_norm = optax.global_norm(grads)
+        metrics = {
+            "loss": losses["loss"],
+            "mel_loss": losses["mel_loss"],
+            "linear_loss": losses["linear_loss"],
+            "loss_without_coeff": losses["loss_without_coeff"],
+            "learning_rate": schedule(state.step),
+            "grad_norm": grad_norm,
+            # loss-explosion flag (reference train.py:228-230)
+            "diverged": jnp.logical_or(losses["loss"] > 100.0,
+                                       jnp.isnan(losses["loss"])),
+        }
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    if plan is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    batch_sh = plan.batch()
+    repl = plan.replicated()
+    # Sharding prefixes: state/rng replicated, batch sharded on axis 0.
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, batch_sh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(config: Config, plan: Optional[MeshPlan] = None):
+    """Teacher-forced eval step: losses only, no state mutation
+    (the reference's reused-scope test model, ``train.py:158-169``)."""
+    model = Tacotron(config.model)
+
+    def eval_fn(state: TrainState, batch: Batch) -> Dict[str, jnp.ndarray]:
+        losses, _, _ = _forward_loss(
+            model, config, state.params, state.batch_stats, batch,
+            jax.random.PRNGKey(0), train=False)
+        return {"loss": losses["loss"], "mel_loss": losses["mel_loss"],
+                "linear_loss": losses["linear_loss"],
+                "loss_without_coeff": losses["loss_without_coeff"]}
+
+    if plan is None:
+        return jax.jit(eval_fn)
+    return jax.jit(eval_fn, in_shardings=(plan.replicated(), plan.batch()),
+                   out_shardings=plan.replicated())

@@ -1,0 +1,139 @@
+"""Training-layer tests: loss semantics, LR schedules, sharded train step on
+the virtual 8-device mesh, checkpoint resume/warm-start semantics.
+"""
+
+import os
+import shutil
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tacotron_tpu.config import AudioConfig, Config, TrainConfig
+from tacotron_tpu.parallel import make_mesh, shard_batch
+from tacotron_tpu.train import (Batch, create_train_state,
+                                learning_rate_schedule, make_eval_step,
+                                make_optimizer, make_train_step, tacotron_loss)
+from tacotron_tpu.train.checkpoint import (CheckpointManager, load_run_config,
+                                           warm_start)
+
+
+def _toy_batch(N=8, T_in=24, T_out=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return Batch(
+        inputs=jnp.asarray(rng.integers(0, 80, (N, T_in)), jnp.int32),
+        input_lengths=jnp.full((N,), T_in, jnp.int32),
+        loss_coeff=jnp.ones((N,), jnp.float32),
+        mel_targets=jnp.asarray(rng.random((N, T_out, 80)), jnp.float32),
+        linear_targets=jnp.asarray(rng.random((N, T_out, 1025)), jnp.float32),
+        speaker_id=jnp.zeros((N,), jnp.int32))
+
+
+def test_loss_coeff_weighting():
+    """loss scales with loss_coeff; loss_without_coeff does not."""
+    rng = np.random.default_rng(1)
+    mel_o = jnp.asarray(rng.random((2, 4, 80)), jnp.float32)
+    mel_t = jnp.asarray(rng.random((2, 4, 80)), jnp.float32)
+    lin_o = jnp.asarray(rng.random((2, 4, 1025)), jnp.float32)
+    lin_t = jnp.asarray(rng.random((2, 4, 1025)), jnp.float32)
+    tc, ac = TrainConfig(), AudioConfig()
+    full = tacotron_loss(mel_o, lin_o, mel_t, lin_t,
+                         jnp.array([1.0, 1.0]), tc, ac)
+    half = tacotron_loss(mel_o, lin_o, mel_t, lin_t,
+                         jnp.array([0.5, 0.5]), tc, ac)
+    np.testing.assert_allclose(float(half["loss"]), float(full["loss"]) / 2,
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(half["loss_without_coeff"]),
+                               float(full["loss_without_coeff"]), rtol=1e-6)
+
+
+def test_prioritized_loss_band():
+    """prioritize_loss re-weights the 165 Hz..5 kHz band
+    (reference models/tacotron.py:284-295)."""
+    tc = TrainConfig(prioritize_loss=True)
+    ac = AudioConfig()
+    lo = int(165 / (ac.sample_rate * 0.5) * ac.num_freq)
+    hi = int(5000 / (ac.sample_rate * 0.5) * ac.num_freq)
+    mel = jnp.zeros((1, 2, 80))
+    lin_t = jnp.zeros((1, 2, 1025))
+    lin_o = jnp.zeros((1, 2, 1025)).at[:, :, lo:hi].set(1.0)
+    out = tacotron_loss(mel, lin_o, mel, lin_t, None, tc, ac)
+    band = hi - lo
+    want = 0.5 * band / 1025 + 0.5 * 1.0
+    np.testing.assert_allclose(float(out["loss"]), want, rtol=1e-5)
+
+
+def test_noam_schedule_shape():
+    """Noam warmup: peaks at warmup_steps then decays as 1/sqrt(t);
+    matches lr*ws^.5*min((t+1)ws^-1.5, (t+1)^-.5)."""
+    tc = TrainConfig()
+    sched = learning_rate_schedule(tc, randomly_initialized=True)
+    ws, lr = tc.warmup_steps_fresh, tc.initial_learning_rate
+    for step in [0, 100, 3999, 4000, 10000]:
+        t = step + 1.0
+        want = lr * ws ** 0.5 * min(t * ws ** -1.5, t ** -0.5)
+        np.testing.assert_allclose(float(sched(jnp.asarray(step))), want,
+                                   rtol=1e-6)
+    # finetune mode uses the 40k warmup
+    sched_ft = learning_rate_schedule(tc, randomly_initialized=False)
+    assert float(sched_ft(jnp.asarray(100))) < float(sched(jnp.asarray(100)))
+
+
+def test_exponential_schedule():
+    tc = TrainConfig(decay_learning_rate_mode=1)
+    sched = learning_rate_schedule(tc)
+    np.testing.assert_allclose(float(sched(jnp.asarray(2999))),
+                               0.002 * 0.95, rtol=1e-5)
+
+
+def test_train_step_decreases_loss_on_mesh():
+    # exponential-decay mode starts at the full LR so three steps move the
+    # loss decisively (Noam warmup would be ~1e-6 here)
+    cfg = Config().replace(train=TrainConfig(decay_learning_rate_mode=1))
+    plan = make_mesh()
+    assert plan.data_size == 8
+    opt = make_optimizer(cfg.train)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), opt)
+    step = make_train_step(cfg, plan)
+    batch = Batch(*shard_batch(plan, _toy_batch()))
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(3):
+        state, m = step(state, batch, rng)
+        assert not bool(m["diverged"])
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 3
+
+    ev = make_eval_step(cfg, plan)
+    em = ev(state, batch)
+    assert np.isfinite(float(em["loss"]))
+
+
+def test_checkpoint_resume_and_warm_start(tmp_path):
+    cfg = Config()
+    opt = make_optimizer(cfg.train)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), opt)
+    state = state.replace(step=jnp.asarray(5, jnp.int32))
+    run_dir = str(tmp_path / "run")
+    mgr = CheckpointManager(run_dir, cfg)
+    mgr.save(state)
+    assert mgr.latest_step == 5
+
+    template = create_train_state(cfg, jax.random.PRNGKey(9), opt)
+    restored = mgr.restore(template)
+    mgr.close()
+    assert int(restored.step) == 5
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(state.params)[0]),
+        np.asarray(jax.tree.leaves(restored.params)[0]))
+
+    # initialize mode: params come over, step resets, run config round-trips
+    ws = warm_start(template, run_dir)
+    assert int(ws.step) == 0
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(state.params)[0]),
+        np.asarray(jax.tree.leaves(ws.params)[0]))
+    assert load_run_config(run_dir).train.batch_size == cfg.train.batch_size
