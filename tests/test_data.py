@@ -1,0 +1,183 @@
+"""Data-layer tests on a synthetic corpus: builder schema, loss_coeff policy,
+feeder filtering/bucketing/splitting, end-to-end batch into the train step.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tacotron_tpu.config import (Config, DataConfig, ModelConfig, TrainConfig)
+from tacotron_tpu.data import (DataFeeder, build_from_path, read_metadata,
+                               resolve_loss_coeffs)
+from tacotron_tpu.dsp import host as dsp
+
+
+def _tiny_config():
+    return Config().replace(
+        data=DataConfig(min_tokens=1, min_iters=1, max_iters=100,
+                        bucket_size_tokens=16, bucket_size_frames=32,
+                        batches_per_group=2),
+        train=TrainConfig(batch_size=2, initial_phase_step=0))
+
+
+def _make_corpus(root, n=6, seed=0, sr=24000):
+    """Write n short sine wavs + metadata.csv; return metadata path."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    lines = []
+    cfg = _tiny_config()
+    texts = ["안녕하세요 만나서 반갑습니다",
+             "오늘은 날씨가 정말 좋네요",
+             "음성 합성 시스템을 시험합니다",
+             "스물 네 시간 열두 달",
+             "어제는 비가 조금 내렸어요",
+             "내일 아침 일찍 만나요"]
+    for i in range(n):
+        dur = 0.4 + 0.2 * (i % 3)
+        t = np.arange(int(dur * sr)) / sr
+        wav = 0.5 * np.sin(2 * np.pi * (200 + 50 * i) * t).astype(np.float32)
+        path = os.path.join(root, f"utt{i:03d}.wav")
+        dsp.save_audio(wav, path, cfg.audio)
+        lines.append(f"{path}|{texts[i % len(texts)]}")
+    meta = os.path.join(root, "metadata.csv")
+    with open(meta, "w") as fh:
+        fh.write("\n".join(lines))
+    return meta
+
+
+def test_builder_schema_and_roundtrip(tmp_path):
+    meta = _make_corpus(str(tmp_path / "spk0"))
+    cfg = _tiny_config()
+    stats = build_from_path(meta, cfg, num_workers=1)
+    assert stats.num_built == 6
+    data_dir = str(tmp_path / "spk0" / "data")
+    files = sorted(os.listdir(data_dir))
+    assert len(files) == 6
+    with np.load(os.path.join(data_dir, files[0])) as d:
+        assert d["linear"].ndim == 2 and d["linear"].shape[1] == 1025
+        assert d["mel"].shape[1] == 80
+        assert d["linear"].shape[0] == d["mel"].shape[0]
+        assert d["tokens"].dtype == np.int32
+        assert float(d["loss_coeff"]) == 1.0
+    # rebuild is a no-op (cached)
+    stats2 = build_from_path(meta, cfg, num_workers=1)
+    assert stats2.num_built == 6
+
+
+def test_loss_coeff_policy():
+    info = {"a.wav": "sure", "b.wav": ["uncertain"], "c.wav": ["x", "y"]}
+    # level 1: single-candidate lists are down-weighted then skipped
+    texts, coeffs = resolve_loss_coeffs(info, TrainConfig(
+        ignore_recognition_level=1))
+    assert set(texts) == {"a.wav", "c.wav"}
+    assert coeffs["c.wav"] == 1.0
+    # level 0: keep everything at full weight
+    texts0, coeffs0 = resolve_loss_coeffs(info, TrainConfig(
+        ignore_recognition_level=0))
+    assert set(texts0) == {"a.wav", "b.wav", "c.wav"}
+    assert all(c == 1.0 for c in coeffs0.values())
+    # level 2: every ASR-derived (list) utterance skipped
+    texts2, _ = resolve_loss_coeffs(info, TrainConfig(
+        ignore_recognition_level=2))
+    assert set(texts2) == {"a.wav"}
+
+
+def test_metadata_json(tmp_path):
+    p = tmp_path / "alignment.json"
+    p.write_text(json.dumps({"a.wav": "text one", "b.wav": ["maybe"]}))
+    info = read_metadata(str(p))
+    assert info["b.wav"] == ["maybe"]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    cfg = _tiny_config()
+    dirs = []
+    for spk in range(2):
+        meta = _make_corpus(str(root / f"spk{spk}"), seed=spk)
+        build_from_path(meta, cfg, num_workers=1)
+        dirs.append(str(root / f"spk{spk}" / "data"))
+    return dirs
+
+
+def test_feeder_batches(corpus):
+    cfg = _tiny_config()
+    feeder = DataFeeder(corpus, cfg, data_type="train", batch_size=2,
+                        n_test=1)
+    batch = next(feeder.batches())
+    r = cfg.model.reduction_factor
+    assert batch.inputs.shape[0] == 2
+    assert batch.inputs.shape[1] % cfg.data.bucket_size_tokens == 0
+    assert batch.mel_targets.shape[1] % r == 0
+    assert batch.mel_targets.shape[1] % cfg.data.bucket_size_frames == 0
+    assert batch.linear_targets.shape[2] == 1025
+    assert set(np.unique(batch.speaker_id)) <= {0, 1}
+    # input_lengths reflect true token counts, not the padded bucket
+    assert (batch.input_lengths <= batch.inputs.shape[1]).all()
+    assert (batch.input_lengths > 0).all()
+
+
+def test_feeder_train_test_split(corpus):
+    cfg = _tiny_config()
+    train = DataFeeder(corpus, cfg, data_type="train", batch_size=2, n_test=1)
+    test = DataFeeder(corpus, cfg, data_type="test", batch_size=2, n_test=1)
+    train_paths = {p for ps in train.path_dict.values() for p in ps}
+    test_paths = {p for ps in test.path_dict.values() for p in ps}
+    assert train_paths.isdisjoint(test_paths)
+    assert len(test_paths) == 2  # one held-out per dir
+    # test feeder repeats one static batch
+    it = test.batches()
+    b1, b2 = next(it), next(it)
+    np.testing.assert_array_equal(b1.inputs, b2.inputs)
+
+
+def test_feeder_per_host_sharding(corpus):
+    cfg = _tiny_config()
+    shard0 = DataFeeder(corpus, cfg, data_type="train", batch_size=2,
+                        n_test=0, process_index=0, process_count=2)
+    shard1 = DataFeeder(corpus, cfg, data_type="train", batch_size=2,
+                        n_test=0, process_index=1, process_count=2)
+    p0 = {p for ps in shard0.path_dict.values() for p in ps}
+    p1 = {p for ps in shard1.path_dict.values() for p in ps}
+    assert p0.isdisjoint(p1)
+    assert len(p0) + len(p1) == 12
+
+
+def test_feeder_prefetch_thread(corpus):
+    cfg = _tiny_config()
+    feeder = DataFeeder(corpus, cfg, data_type="train", batch_size=2,
+                        n_test=1).start(prefetch=2)
+    try:
+        b = feeder.get(timeout=30)
+        assert b.inputs.shape[0] == 2
+    finally:
+        feeder.stop()
+
+
+def test_feeder_filters_inadequate(corpus, tmp_path):
+    """Default corpus policy (120..796 frames, >=50 tokens) drops these tiny
+    utterances entirely."""
+    cfg = Config()  # reference defaults
+    with pytest.raises(ValueError, match="no usable"):
+        DataFeeder(corpus, cfg, data_type="train", batch_size=2, n_test=0)
+
+
+def test_feeder_feeds_train_step(corpus):
+    import jax
+    from tacotron_tpu.parallel import make_mesh, shard_batch
+    from tacotron_tpu.train import (Batch, create_train_state, make_optimizer,
+                                    make_train_step)
+    cfg = _tiny_config()
+    feeder = DataFeeder(corpus, cfg, data_type="train", batch_size=8, n_test=0)
+    batch = next(feeder.batches())
+    plan = make_mesh()
+    opt = make_optimizer(cfg.train)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), opt)
+    step = make_train_step(cfg, plan)
+    state, m = step(state, Batch(*shard_batch(plan, batch)),
+                    jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    assert not bool(m["diverged"])
