@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Benchmark harness: prints ONE JSON line.
+
+Headline metric: **synthesis audio-seconds per second per chip** — batched
+greedy decode (text -> mel -> linear) plus on-chip 60-iteration Griffin-Lim
+vocoding, the full serving path of the reference
+(``/root/reference/synthesizer.py:69-287``, ``app.py:55-84``).
+
+``vs_baseline``: the reference serves on CPU TF1.3 (``run.sh`` sets
+``CUDA_VISIBLE_DEVICES=``); its dominant cost is the same 60-iteration
+Griffin-Lim on CPU (librosa). The baseline here is this framework's own
+host (numpy/scipy) inversion of the identical spectrograms — a faithful
+stand-in for the reference CPU path, measured fresh on this machine.
+north-star target: vs_baseline >= 10 (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import tacotron_tpu
+    tacotron_tpu.enable_compilation_cache()
+    from tacotron_tpu.config import Config
+    from tacotron_tpu.dsp import chip as dsp_chip
+    from tacotron_tpu.dsp import host as dsp_host
+    from tacotron_tpu.synth import Synthesizer
+
+    cfg = Config()
+    BATCH = 16
+    MAX_STEPS = 50           # 50 * r=4 = 200 frames = 2.5 s audio each
+    REPS = 3
+
+    synth = Synthesizer().init_random(cfg)
+
+    texts = [
+        "안녕하세요 오늘은 정말 좋은 날씨입니다 함께 산책을 나가요",
+        "음성 합성 시스템의 품질을 평가하기 위한 문장입니다",
+        "어제 저녁에는 친구들과 함께 맛있는 식사를 했습니다",
+        "대한민국의 수도는 서울이며 많은 사람들이 살고 있습니다",
+    ] * (BATCH // 4)
+
+    r = cfg.model.reduction_factor
+    hop_s = cfg.audio.hop_length / cfg.audio.sample_rate
+
+    # ---- build the batch once; greedy decode + batched on-chip Griffin-Lim
+    from tacotron_tpu.text import text_to_sequence
+    cleaners = [c.strip() for c in cfg.data.cleaners.split(",")]
+    seqs = [text_to_sequence(t, cleaners) for t in texts]
+    bucket = 64
+    inputs = np.zeros((BATCH, bucket), np.int32)
+    for i, s in enumerate(seqs):
+        inputs[i, :min(len(s), bucket)] = s[:bucket]
+    lengths = np.minimum([len(s) for s in seqs], bucket).astype(np.int32)
+
+    model = synth.model
+    variables = synth.variables
+
+    @jax.jit
+    def synth_batch(variables, inputs, lengths):
+        out = model.apply(variables, inputs, lengths, train=False,
+                          max_steps=MAX_STEPS)
+        wavs = dsp_chip.batched_linear_to_waveform(
+            out["linear_outputs"], cfg.audio)
+        return wavs
+
+    inputs_j, lengths_j = jnp.asarray(inputs), jnp.asarray(lengths)
+    wavs = jax.block_until_ready(synth_batch(variables, inputs_j, lengths_j))
+    assert np.isfinite(np.asarray(wavs)).all()
+
+    rep_times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        wavs = jax.block_until_ready(
+            synth_batch(variables, inputs_j, lengths_j))
+        rep_times.append(time.perf_counter() - t0)
+    tpu_time = float(np.median(rep_times))
+
+    audio_seconds = BATCH * MAX_STEPS * r * hop_s
+    tpu_throughput = audio_seconds / tpu_time
+
+    # ---- CPU baseline: host (numpy) Griffin-Lim of the same spectrograms,
+    # the reference's serving hot path. One utterance, scaled to the batch.
+    out = model.apply(variables, inputs_j[:1], lengths_j[:1], train=False,
+                      max_steps=MAX_STEPS)
+    spec = np.asarray(out["linear_outputs"][0])
+    t0 = time.perf_counter()
+    dsp_host.inv_spectrogram(spec.T, cfg.audio)
+    host_time_one = time.perf_counter() - t0
+    host_throughput = (MAX_STEPS * r * hop_s) / host_time_one
+
+    result = {
+        "metric": "synthesis_throughput",
+        "value": round(tpu_throughput, 2),
+        "unit": "audio-seconds/s/chip",
+        "vs_baseline": round(tpu_throughput / host_throughput, 2),
+        "detail": {
+            "batch": BATCH,
+            "decode_steps": MAX_STEPS,
+            "audio_seconds_per_batch": round(audio_seconds, 2),
+            "tpu_batch_seconds": round(tpu_time, 4),
+            "rep_seconds": [round(t, 4) for t in rep_times],
+            "cpu_baseline_audio_s_per_s": round(host_throughput, 2),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -10,6 +10,20 @@ pipeline, Griffin-Lim vocoding, training/serving drivers — built TPU-first
 
 __version__ = "0.1.0"
 
+
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache so serving/training CLIs
+    pay each program's XLA compile once per machine, not once per process."""
+    import os
+
+    import jax
+
+    path = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "tacotron_tpu_xla")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from .config import (AudioConfig, Config, DataConfig, MeshConfig, ModelConfig,
                      TrainConfig, load_config, save_config)
 

@@ -70,7 +70,15 @@ def stft(y: jnp.ndarray, config: AudioConfig) -> jnp.ndarray:
 
 def istft(stft_frames: jnp.ndarray, num_samples: int,
           config: AudioConfig) -> jnp.ndarray:
-    """Inverse of :func:`stft`: complex [n_frames, n_freq] -> float [num_samples]."""
+    """Inverse of :func:`stft`: complex [n_frames, n_freq] -> float [num_samples].
+
+    Overlap-add is scatter-free: each length-n_fft frame is split into
+    ``ceil(n_fft/hop)`` hop-sized chunks; chunk j of frame t lands at output
+    block t+j, so the whole OLA is K shifted, padded adds of dense
+    [n_frames, hop] blocks — reshapes and adds only, which XLA fuses.  A
+    scatter-add formulation compiles and runs poorly on TPU, especially
+    under vmap.
+    """
     n_fft = config.n_fft
     hop = config.hop_length
     n_frames = stft_frames.shape[0]
@@ -78,9 +86,19 @@ def istft(stft_frames: jnp.ndarray, num_samples: int,
                          dtype=jnp.float32)
     frames = jnp.fft.irfft(stft_frames, n=n_fft, axis=-1) * window
 
-    out_len = n_fft + hop * (n_frames - 1)
-    idx = jnp.asarray(_frame_indices(out_len - n_fft, n_fft, hop))
-    signal = jnp.zeros(out_len, dtype=frames.dtype).at[idx].add(frames)
+    K = -(-n_fft // hop)  # chunks per frame
+    pad_to = K * hop
+    # [n_frames, K, hop]: hop-sized chunks of each frame
+    chunks = jnp.pad(frames, ((0, 0), (0, pad_to - n_fft))).reshape(
+        n_frames, K, hop)
+    n_blocks = n_frames + K  # output as hop-sized blocks (with tail slack)
+    acc = jnp.zeros((n_blocks, hop), dtype=frames.dtype)
+    for j in range(K):
+        # chunk j of every frame t accumulates into block t+j
+        acc = acc + jnp.pad(chunks[:, j, :],
+                            ((j, n_blocks - n_frames - j), (0, 0)))
+    signal = acc.reshape(-1)[:n_fft + hop * (n_frames - 1)]
+
     norm = jnp.asarray(
         _window_sumsquare(n_frames, n_fft, hop, config.win_length))
     signal = signal / norm

@@ -1,0 +1,7 @@
+"""Synthesis layer: batched greedy decode, vocoding, trimming, CLI."""
+
+from .synthesizer import (Synthesizer, attention_trim_index,
+                          posthoc_attention, trim_silence_db)
+
+__all__ = ["Synthesizer", "attention_trim_index", "posthoc_attention",
+           "trim_silence_db"]

@@ -1,0 +1,284 @@
+"""Serving-side synthesis: batched greedy decode + Griffin-Lim vocoding.
+
+TPU-native successor to the reference ``Synthesizer``
+(``/root/reference/synthesizer.py:28-299``):
+
+- the inference graph + ``sess.run`` become one jitted apply per
+  (input-bucket, max_steps) shape, cached across calls;
+- text lengths are bucketed to a few static shapes (the reference pads to
+  the batch max, which would recompile under jit);
+- Griffin-Lim runs on-chip (``dsp.chip``) for batch throughput, or on host
+  (numpy) when requested;
+- attention-based end trimming, post-hoc attention modes (argmax one-hot /
+  sharpening / pruning) and dB silence trimming reproduce
+  ``synthesizer.py:171-205,242-269``.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.feeder import _round_up
+from ..dsp import chip as dsp_chip
+from ..dsp import host as dsp_host
+from ..models.tacotron import Tacotron
+from ..text import text_to_sequence
+from ..text.symbols import EOS_ID
+from ..train.checkpoint import CheckpointManager, load_run_config
+from ..train.optim import make_optimizer
+from ..train.state import abstract_train_state, create_train_state
+
+
+def attention_trim_index(alignment: np.ndarray, seq_len: int,
+                         reduction_factor: int) -> int:
+    """Spectrogram-frame index to cut at, from the alignment's argmax path
+    (reference ``synthesizer.py:242-263``)."""
+    attention_argmax = alignment.argmax(0)  # [T_dec]
+    end_idx = min(seq_len - 1, int(attention_argmax.max()))
+    max_counter = min(int((attention_argmax == end_idx).sum()), 5)
+    end_idx_counter = 0
+    jdx = 0
+    for jdx, attend_idx in enumerate(attention_argmax):
+        if len(attention_argmax) > jdx + 1:
+            if attend_idx == end_idx:
+                end_idx_counter += 1
+            if (attend_idx == end_idx
+                    and attention_argmax[jdx + 1] > end_idx):
+                break
+            if end_idx_counter >= max_counter:
+                break
+        else:
+            break
+    return reduction_factor * jdx + 3
+
+
+def trim_silence_db(audio: np.ndarray, top_db: float = 50.0,
+                    frame_length: int = 5120,
+                    hop_length: int = 256) -> np.ndarray:
+    """Drop the trailing silence below ``top_db`` under the peak RMS
+    (librosa.effects.trim semantics; reference ``synthesizer.py:266-269``
+    keeps everything up to the last non-silent sample)."""
+    if audio.size < frame_length:
+        return audio
+    n_frames = 1 + (len(audio) - frame_length) // hop_length
+    idx = (np.arange(frame_length)[None, :]
+           + hop_length * np.arange(n_frames)[:, None])
+    rms = np.sqrt(np.mean(audio[idx] ** 2, axis=1))
+    ref = rms.max()
+    if ref <= 0:
+        return audio
+    db = 20.0 * np.log10(np.maximum(rms / ref, 1e-10))
+    nonsilent = np.flatnonzero(db > -top_db)
+    if nonsilent.size == 0:
+        return audio
+    end = min(len(audio),
+              int(nonsilent[-1] + 1) * hop_length + frame_length)
+    return audio[:end]
+
+
+def posthoc_attention(alignments: np.ndarray, mode: int) -> np.ndarray:
+    """Post-hoc manual-attention transforms (``synthesizer.py:171-205``):
+    1 = argmax one-hot, 2 = sharpen (power 2, renormalized), 3 = prune
+    (argmax one-hot; the shipped reference code for 3 equals 1)."""
+    out = np.zeros_like(alignments)
+    if mode in (1, 3):
+        for i, al in enumerate(alignments):      # al: [T_in, T_dec]
+            argmax = al.argmax(0)
+            out[i][(argmax, np.arange(len(argmax)))] = 1.0
+        return out
+    if mode == 2:
+        sq = alignments ** 2
+        denom = np.maximum(sq.sum(axis=1, keepdims=True), 1e-8)
+        return sq / denom
+    raise ValueError(f"unknown manual_attention_mode {mode}")
+
+
+class Synthesizer:
+    """Load once, synthesize many (reference ``synthesizer.py:28-67``)."""
+
+    def __init__(self):
+        self.config: Optional[Config] = None
+        self.model: Optional[Tacotron] = None
+        self.variables = None
+        self._compiled: Dict[Tuple[int, int, int], callable] = {}
+
+    # ------------------------------------------------------------------ load
+
+    def load(self, run_dir: str, step: Optional[int] = None,
+             config: Optional[Config] = None) -> "Synthesizer":
+        self.config = config or load_run_config(run_dir)
+        self.model = Tacotron(self.config.model)
+        optimizer = make_optimizer(self.config.train)
+        # abstract template: restore without compiling a train-mode init
+        template = abstract_train_state(self.config, optimizer)
+        mgr = CheckpointManager(run_dir, self.config)
+        try:
+            state = mgr.restore(template, step=step)
+        finally:
+            mgr.close()
+        self.variables = {"params": state.params,
+                          "batch_stats": state.batch_stats}
+        return self
+
+    def init_random(self, config: Config,
+                    seed: int = 0) -> "Synthesizer":
+        """Fresh random weights (testing / benchmarking without a run)."""
+        self.config = config
+        self.model = Tacotron(config.model)
+        optimizer = make_optimizer(config.train)
+        state = create_train_state(config, jax.random.PRNGKey(seed),
+                                   optimizer)
+        self.variables = {"params": state.params,
+                          "batch_stats": state.batch_stats}
+        return self
+
+    # ------------------------------------------------------------- compile
+
+    def _forward(self, bucket_len: int, max_steps: int, manual: bool):
+        key = (bucket_len, max_steps, int(manual))
+        if key not in self._compiled:
+            model = self.model
+
+            def fwd(variables, inputs, input_lengths, speaker_id,
+                    manual_alignments, is_manual):
+                return model.apply(
+                    variables, inputs, input_lengths,
+                    speaker_id=speaker_id, train=False, max_steps=max_steps,
+                    manual_alignments=manual_alignments,
+                    is_manual=is_manual)
+
+            self._compiled[key] = jax.jit(fwd)
+        return self._compiled[key]
+
+    # ----------------------------------------------------------- synthesize
+
+    def synthesize(self, texts: Optional[Sequence[str]] = None,
+                   sequences: Optional[Sequence[Sequence[int]]] = None,
+                   speaker_ids: Optional[Sequence[int]] = None,
+                   max_steps: Optional[int] = None,
+                   manual_alignments: Optional[np.ndarray] = None,
+                   manual_attention_mode: int = 0,
+                   attention_trim: bool = True,
+                   librosa_trim: bool = True,
+                   vocode: str = "chip",
+                   token_bucket: int = 32) -> Dict[str, List[np.ndarray]]:
+        """texts -> waveforms.
+
+        Returns dict with ``wavs`` (list of float32 arrays), ``alignments``
+        (list of [T_in, T_dec]), ``linear`` (list of [T_dec*r, F]) and
+        ``sequences``.
+        """
+        assert self.variables is not None, "call load() or init_random()"
+        cfg = self.config
+        cleaners = [c.strip() for c in cfg.data.cleaners.split(",")]
+        if sequences is None:
+            sequences = [text_to_sequence(t, cleaners) for t in texts]
+        seq_lens = [len(s) for s in sequences]
+        N = len(sequences)
+
+        bucket = _round_up(max(seq_lens), token_bucket)
+        inputs = np.zeros((N, bucket), np.int32)
+        for i, s in enumerate(sequences):
+            inputs[i, :len(s)] = s
+        # input_lengths from EOS position, like synthesizer.py:120
+        input_lengths = np.argmax(inputs == EOS_ID, axis=1) + 1
+
+        steps = max_steps or cfg.model.max_iters
+        spk = (np.asarray(speaker_ids, np.int32)
+               if speaker_ids is not None else np.zeros((N,), np.int32))
+        if cfg.model.num_speakers <= 1:
+            spk = None
+
+        if manual_alignments is not None:
+            T_dec = steps
+            man = np.zeros((N, T_dec, bucket), np.float32)
+            # accept [N, T_in, T_dec] and transpose per reference convention
+            src = np.transpose(manual_alignments, (0, 2, 1))
+            man[:, :min(T_dec, src.shape[1]), :min(bucket, src.shape[2])] = \
+                src[:, :T_dec, :bucket]
+            is_manual = jnp.asarray(True)
+        else:
+            man = None
+            is_manual = jnp.asarray(False) if manual_alignments is None \
+                else jnp.asarray(True)
+
+        fwd = self._forward(bucket, steps, man is not None)
+        out = fwd(self.variables, jnp.asarray(inputs),
+                  jnp.asarray(input_lengths),
+                  None if spk is None else jnp.asarray(spk),
+                  None if man is None else jnp.asarray(man), is_manual)
+
+        alignments = np.asarray(out["alignments"])   # [N, T_in(bucket), T_dec]
+        linear = np.asarray(out["linear_outputs"])   # [N, T_dec*r, F]
+
+        if manual_attention_mode > 0:
+            new_man = posthoc_attention(alignments, manual_attention_mode)
+            return self.synthesize(
+                sequences=sequences, speaker_ids=speaker_ids,
+                max_steps=steps,
+                manual_alignments=np.asarray(new_man),
+                manual_attention_mode=0, attention_trim=attention_trim,
+                librosa_trim=librosa_trim, vocode=vocode,
+                token_bucket=token_bucket)
+
+        r = cfg.model.reduction_factor
+        wavs: List[np.ndarray] = []
+        specs: List[np.ndarray] = []
+        aligns: List[np.ndarray] = []
+        for i in range(N):
+            spec = linear[i]
+            align = alignments[i, :seq_lens[i], :]
+            if attention_trim:
+                end = attention_trim_index(align, seq_lens[i], r)
+                spec = spec[:max(end, r)]
+            specs.append(spec)
+            aligns.append(align)
+
+        if vocode == "chip":
+            # bucket spec lengths for a stable jit cache, then invert batched
+            for spec in specs:
+                frames = _round_up(spec.shape[0], 64)
+                padded = np.zeros((frames, spec.shape[1]), np.float32)
+                padded[:spec.shape[0]] = spec
+                wav = np.asarray(dsp_chip.linear_to_waveform(
+                    jnp.asarray(padded), cfg.audio))
+                n_samples = min(len(wav),
+                                spec.shape[0] * cfg.audio.hop_length)
+                wavs.append(wav[:n_samples])
+        elif vocode == "host":
+            for spec in specs:
+                wavs.append(dsp_host.inv_spectrogram(spec.T, cfg.audio))
+        elif vocode == "none":
+            wavs = [np.zeros((0,), np.float32) for _ in specs]
+        else:
+            raise ValueError(f"unknown vocode mode {vocode!r}")
+
+        if librosa_trim and vocode != "none":
+            wavs = [trim_silence_db(w) for w in wavs]
+
+        return {"wavs": wavs, "alignments": aligns, "linear": specs,
+                "sequences": list(sequences)}
+
+    # ------------------------------------------------------------- save
+
+    def save_results(self, results: Dict, out_dir: str,
+                     prefix: str = "synth") -> List[str]:
+        from ..utils.plot import plot_alignment
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for i, (wav, align, seq) in enumerate(zip(
+                results["wavs"], results["alignments"],
+                results["sequences"])):
+            wav_path = os.path.join(out_dir, f"{prefix}_{i}.wav")
+            dsp_host.save_audio(wav, wav_path, self.config.audio)
+            plot_alignment(align, wav_path.replace(".wav", ".png"),
+                           token_ids=seq, input_length=len(seq))
+            paths.append(wav_path)
+        return paths

@@ -1,0 +1,148 @@
+"""Training driver: the end-to-end loop.
+
+Successor to ``/root/reference/train.py:108-275``: feeders in, sharded train
+step, periodic eval on a held-out static batch, checkpoints, qualitative
+audio/alignment dumps — with the reference's run-dir layout, divergence
+guard, and resume/initialize semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.feeder import DataFeeder
+from ..dsp import host as dsp_host
+from ..parallel import MeshPlan, make_mesh, shard_batch
+from ..utils import ValueWindow, init_log, log
+from .checkpoint import CheckpointManager, warm_start
+from .optim import make_optimizer
+from .state import TrainState, create_train_state
+from .step import Batch, make_eval_step, make_train_step
+
+
+class DivergenceError(RuntimeError):
+    pass
+
+
+def train(run_dir: str, data_paths: Sequence[str], config: Config,
+          num_steps: int = 100000,
+          load_path: Optional[str] = None,
+          initialize_path: Optional[str] = None,
+          plan: Optional[MeshPlan] = None,
+          seed: int = 123,
+          log_every: int = 1,
+          test_dump_dir: Optional[str] = None) -> TrainState:
+    """Run the training loop; returns the final state."""
+    os.makedirs(run_dir, exist_ok=True)
+    init_log(os.path.join(run_dir, "train.log"), os.path.basename(run_dir))
+    log(config.debug_string())
+
+    plan = plan or make_mesh(config.mesh)
+    log(f"mesh: {dict(plan.mesh.shape)} over {len(plan.mesh.devices.flat)} "
+        f"devices, process {jax.process_index()}/{jax.process_count()}")
+
+    randomly_initialized = initialize_path is None
+    optimizer = make_optimizer(config.train, randomly_initialized)
+    state = create_train_state(config, jax.random.PRNGKey(seed), optimizer)
+
+    mgr = CheckpointManager(run_dir, config)
+    if load_path and os.path.abspath(load_path) != os.path.abspath(run_dir):
+        src = CheckpointManager(load_path, config)
+        state = src.restore(state)
+        src.close()
+        log(f"resumed from {load_path} at step {int(state.step)}")
+    elif mgr.latest_step is not None:
+        state = mgr.restore(state)
+        log(f"resumed from {run_dir} at step {int(state.step)}")
+    elif initialize_path:
+        state = warm_start(state, initialize_path)
+        log(f"warm-started weights from {initialize_path}; step reset to 0 "
+            f"(40k-warmup finetune schedule)")
+
+    train_feeder = DataFeeder(
+        data_paths, config, data_type="train",
+        process_index=jax.process_index(),
+        process_count=jax.process_count(), seed=seed,
+        start_step=int(state.step)).start()
+    test_feeder = DataFeeder(
+        data_paths, config, data_type="test",
+        process_index=jax.process_index(),
+        process_count=jax.process_count(), seed=seed)
+    test_batch = Batch(*shard_batch(plan, next(test_feeder.batches())))
+
+    step_fn = make_train_step(config, plan, randomly_initialized)
+    eval_fn = make_eval_step(config, plan)
+    dropout_rng = jax.random.PRNGKey(seed + 1)
+
+    time_window, loss_window = ValueWindow(100), ValueWindow(100)
+    tc = config.train
+    try:
+        while int(state.step) < num_steps:
+            start = time.time()
+            batch = Batch(*shard_batch(plan, train_feeder.get()))
+            state, metrics = step_fn(state, batch, dropout_rng)
+            loss = float(metrics["loss"])
+            step = int(state.step)
+            time_window.append(time.time() - start)
+            loss_window.append(loss)
+
+            if step % log_every == 0:
+                log(f"Step {step:7d} [{time_window.average:.3f} sec/step, "
+                    f"loss={loss:.5f}, avg_loss={loss_window.average:.5f}]")
+
+            if bool(metrics["diverged"]):
+                log(f"Loss exploded to {loss:.5f} at step {step}!",
+                    notify=True)
+                raise DivergenceError(f"loss exploded at step {step}")
+
+            if step % tc.test_interval == 0:
+                em = eval_fn(state, test_batch)
+                log(f"  eval @ {step}: loss={float(em['loss']):.5f} "
+                    f"mel={float(em['mel_loss']):.5f} "
+                    f"linear={float(em['linear_loss']):.5f} "
+                    f"(train-test gap "
+                    f"{float(em['loss']) - loss_window.average:+.5f})")
+                if test_dump_dir:
+                    _dump_samples(state, test_batch, config, step,
+                                  test_dump_dir)
+
+            if step % tc.checkpoint_interval == 0:
+                mgr.save(state)
+                log(f"  checkpointed at step {step}")
+    finally:
+        train_feeder.stop()
+        mgr.save(state)
+        mgr.close()
+    return state
+
+
+def _dump_samples(state: TrainState, batch: Batch, config: Config,
+                  step: int, out_dir: str, n: int = 1) -> None:
+    """Periodic qualitative artifacts (reference ``train.py:246-270``):
+    teacher-forced linear output -> Griffin-Lim wav + alignment png."""
+    from ..models.tacotron import Tacotron
+    from ..utils.plot import plot_alignment
+    os.makedirs(out_dir, exist_ok=True)
+    model = Tacotron(config.model)
+    speaker = (batch.speaker_id if config.model.num_speakers > 1 else None)
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch.inputs[:n], batch.input_lengths[:n],
+        speaker_id=None if speaker is None else speaker[:n],
+        mel_targets=batch.mel_targets[:n], train=False)
+    linear = np.asarray(out["linear_outputs"][0])
+    align = np.asarray(out["alignments"][0])
+    wav = dsp_host.inv_spectrogram(linear.T, config.audio)
+    dsp_host.save_audio(
+        wav, os.path.join(out_dir, f"step{step:09d}.wav"), config.audio)
+    plot_alignment(
+        align, os.path.join(out_dir, f"step{step:09d}.png"),
+        info=f"step {step}",
+        token_ids=np.asarray(batch.inputs[0]).tolist(),
+        input_length=int(batch.input_lengths[0]))

@@ -31,6 +31,19 @@ def create_model(config: Config) -> Tacotron:
     return Tacotron(config.model)
 
 
+def abstract_train_state(config: Config,
+                         optimizer: optax.GradientTransformation,
+                         max_input_len: int = 64,
+                         batch_size: int = 2) -> TrainState:
+    """Shape/dtype-only TrainState template via ``jax.eval_shape`` — nothing
+    is compiled or executed, so building a checkpoint-restore template costs
+    milliseconds instead of a full train-mode init compile."""
+    def build():
+        return create_train_state(config, jax.random.PRNGKey(0), optimizer,
+                                  max_input_len, batch_size)
+    return jax.eval_shape(build)
+
+
 def create_train_state(config: Config, rng: jax.Array,
                        optimizer: optax.GradientTransformation,
                        max_input_len: int = 64,

@@ -1,0 +1,11 @@
+"""Cross-cutting utilities: logging, moving averages, run-dir management,
+plotting, parallel map (reference ``/root/reference/utils/``)."""
+
+from .infolog import init as init_log, log
+from .misc import (ValueWindow, parallel_run, prepare_dirs, str2bool,
+                   get_git_revision_hash, get_git_diff)
+
+__all__ = [
+    "ValueWindow", "get_git_diff", "get_git_revision_hash", "init_log",
+    "log", "parallel_run", "prepare_dirs", "str2bool",
+]

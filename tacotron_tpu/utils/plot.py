@@ -1,0 +1,50 @@
+"""Alignment heatmap plotting (reference ``/root/reference/utils/plot.py``).
+
+X-axis ticks show the decoded input symbols (jamo recomposed to Hangul where
+possible); the plot is cropped to the true input length.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from ..text import sequence_to_text  # noqa: E402
+
+
+def plot_alignment(alignment: np.ndarray, path: str,
+                   info: Optional[str] = None,
+                   token_ids: Optional[Sequence[int]] = None,
+                   input_length: Optional[int] = None) -> None:
+    """Save an alignment heatmap.  ``alignment``: [T_in, T_dec]."""
+    alignment = np.asarray(alignment)
+    if input_length is not None:
+        alignment = alignment[:input_length]
+
+    fig, ax = plt.subplots(figsize=(len(alignment) / 5, 5))
+    im = ax.imshow(alignment.T, aspect="auto", origin="lower",
+                   interpolation="none")
+    fig.colorbar(im, ax=ax)
+
+    if token_ids is not None:
+        text = sequence_to_text(list(token_ids), skip_eos_and_pad=False,
+                                combine_jamo=False)
+        chars = list(text)[:alignment.shape[0]]
+        ax.set_xticks(range(len(chars)))
+        ax.set_xticklabels(chars, fontsize=6)
+
+    ax.set_xlabel("Encoder timestep" + (f"\n\n{info}" if info else ""))
+    ax.set_ylabel("Decoder timestep")
+    plt.tight_layout()
+    # DejaVu has no Hangul glyphs; the ticks degrade to boxes, which is fine
+    # for a diagnostic heatmap — don't spam warnings about it.
+    import warnings
+    with warnings.catch_warnings():
+        warnings.filterwarnings("ignore", message="Glyph .* missing")
+        plt.savefig(path, format="png", dpi=120)
+    plt.close(fig)

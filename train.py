@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Training CLI (reference ``/root/reference/train.py:278-322``).
+
+Usage::
+
+    python train.py --data_paths=datasets/spk1/data,datasets/spk2/data
+    python train.py --data_paths=... --load_path=logs/run_x        # resume
+    python train.py --data_paths=... --initialize_path=logs/run_x # warm start
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+from tacotron_tpu.config import Config, load_config
+from tacotron_tpu.train.driver import train
+from tacotron_tpu.utils import prepare_dirs
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_paths", required=True,
+                        help="comma-separated npz data dirs (one per speaker)")
+    parser.add_argument("--log_dir", default="logs")
+    parser.add_argument("--load_path", default=None,
+                        help="run dir to resume (keeps step)")
+    parser.add_argument("--initialize_path", default=None,
+                        help="run dir to warm-start from (resets step)")
+    parser.add_argument("--config", default=None,
+                        help="config.json overriding the defaults")
+    parser.add_argument("--num_steps", type=int, default=100000)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--model_type", default=None,
+                        choices=["single", "deepvoice", "simple"])
+    parser.add_argument("--seed", type=int, default=123)
+    args = parser.parse_args(argv)
+
+    from tacotron_tpu import enable_compilation_cache
+    enable_compilation_cache()
+
+    data_paths = [p for p in args.data_paths.split(",") if p]
+    config = load_config(args.config) if args.config else Config()
+
+    # num_speakers = number of data dirs (reference train.py:113,301)
+    model_kw = {"num_speakers": len(data_paths)}
+    if args.model_type:
+        model_kw["model_type"] = args.model_type
+    elif len(data_paths) > 1 and config.model.model_type == "single":
+        model_kw["model_type"] = "deepvoice"
+    config = config.replace(
+        model=dataclasses.replace(config.model, **model_kw))
+    if args.batch_size:
+        config = config.replace(
+            train=dataclasses.replace(config.train,
+                                      batch_size=args.batch_size))
+
+    if args.load_path:
+        run_dir = args.load_path
+    else:
+        run_dir = prepare_dirs(args.log_dir, data_paths)
+
+    train(run_dir, data_paths, config,
+          num_steps=args.num_steps,
+          initialize_path=args.initialize_path,
+          seed=args.seed,
+          test_dump_dir=os.path.join(run_dir, "samples"))
+
+
+if __name__ == "__main__":
+    main()
