@@ -1,0 +1,157 @@
+#!/usr/bin/env python3
+"""HTTP synthesis demo server (reference ``/root/reference/app.py``).
+
+Same API surface as the reference Flask app, on the stdlib HTTP server
+(Flask is not vendored here):
+
+    GET /generate?text=...&speaker_id=0   -> audio/wav
+    GET /                                  -> minimal player page
+
+Responses are cached by md5(text) per model/speaker like the reference
+(``app.py:55-84``).  CORS headers are always sent (the reference uses
+flask-cors).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from tacotron_tpu.config import Config
+from tacotron_tpu.synth import Synthesizer
+
+_synth_lock = threading.Lock()
+
+
+INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>tacotron_tpu demo</title></head>
+<body style="font-family:sans-serif;max-width:40em;margin:2em auto">
+<h2>tacotron_tpu synthesis demo</h2>
+<input id="text" size="50" value="안녕하세요"/>
+<input id="spk" type="number" value="0" min="0" style="width:4em"/>
+<button onclick="go()">Synthesize</button>
+<p id="status"></p><audio id="player" controls></audio>
+<script>
+function go() {
+  const t = document.getElementById('text').value;
+  const s = document.getElementById('spk').value;
+  document.getElementById('status').textContent = 'generating...';
+  const url = '/generate?text=' + encodeURIComponent(t) + '&speaker_id=' + s;
+  const p = document.getElementById('player');
+  p.src = url; p.onloadeddata = () => {
+    document.getElementById('status').textContent = 'done'; p.play(); };
+}
+</script></body></html>
+"""
+
+
+def make_handler(synth: Synthesizer, cache_dir: str, model_name: str):
+    class Handler(BaseHTTPRequestHandler):
+        def _cors(self):
+            self.send_header("Access-Control-Allow-Origin", "*")
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self._cors()
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path == "/":
+                self._send(200, INDEX_HTML.encode(), "text/html")
+                return
+            if parsed.path == "/healthz":
+                self._send(200, b'{"ok": true}', "application/json")
+                return
+            if parsed.path != "/generate":
+                self._send(404, b"not found", "text/plain")
+                return
+
+            q = urllib.parse.parse_qs(parsed.query)
+            text = (q.get("text", [""])[0] or "").strip()
+            if not text:
+                self._send(400, json.dumps(
+                    {"error": "missing text parameter"}).encode(),
+                    "application/json")
+                return
+            try:
+                speaker = int(q.get("speaker_id", ["0"])[0])
+            except ValueError:
+                self._send(400, json.dumps(
+                    {"error": "speaker_id must be an integer"}).encode(),
+                    "application/json")
+                return
+            num_speakers = synth.config.model.num_speakers
+            if not 0 <= speaker < max(1, num_speakers):
+                self._send(400, json.dumps(
+                    {"error": f"speaker_id out of range "
+                              f"[0, {num_speakers})"}).encode(),
+                    "application/json")
+                return
+
+            # cache by md5(text) (reference app.py:59-67)
+            digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+            wav_dir = os.path.join(cache_dir, model_name)
+            os.makedirs(wav_dir, exist_ok=True)
+            wav_path = os.path.join(wav_dir, f"{digest}.{speaker}.wav")
+
+            if not os.path.exists(wav_path):
+                try:
+                    with _synth_lock:
+                        results = synth.synthesize(
+                            texts=[text], speaker_ids=[speaker],
+                            attention_trim=True, librosa_trim=True)
+                    from tacotron_tpu.dsp import host as dsp_host
+                    dsp_host.save_audio(results["wavs"][0], wav_path,
+                                        synth.config.audio)
+                except Exception as e:  # surface synth errors as JSON
+                    self._send(500, json.dumps(
+                        {"error": str(e)}).encode(), "application/json")
+                    return
+            with open(wav_path, "rb") as fh:
+                self._send(200, fh.read(), "audio/wav")
+
+        def log_message(self, fmt, *args):
+            print(f"[http] {self.address_string()} {fmt % args}")
+
+    return Handler
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--load_path", default=None)
+    parser.add_argument("--random_init", action="store_true")
+    parser.add_argument("--port", type=int, default=5100)
+    parser.add_argument("--cache_dir", default="web_cache")
+    args = parser.parse_args(argv)
+
+    import tacotron_tpu
+    tacotron_tpu.enable_compilation_cache()
+
+    synth = Synthesizer()
+    if args.random_init or args.load_path is None:
+        if not args.random_init:
+            parser.error("--load_path required (or pass --random_init)")
+        synth.init_random(Config())
+        model_name = "random"
+    else:
+        synth.load(args.load_path)
+        model_name = os.path.basename(os.path.normpath(args.load_path))
+
+    server = ThreadingHTTPServer(
+        ("0.0.0.0", args.port),
+        make_handler(synth, args.cache_dir, model_name))
+    print(f"[*] serving on http://0.0.0.0:{args.port} (model {model_name})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -60,12 +60,23 @@ def stft(y: jnp.ndarray, config: AudioConfig) -> jnp.ndarray:
     natural batch/sublane dimension for the downstream FFT and matmuls.
     """
     n_fft = config.n_fft
+    hop = config.hop_length
     window = jnp.asarray(padded_window(config.win_length, n_fft),
                          dtype=y.dtype)
     padded = jnp.pad(y, n_fft // 2, mode="reflect")
-    idx = jnp.asarray(_frame_indices(y.shape[0], n_fft, config.hop_length))
-    frames = padded[idx] * window
-    return jnp.fft.rfft(frames, axis=-1)
+    n_frames = 1 + y.shape[0] // hop
+
+    # Gather-free framing: view the signal as hop-sized blocks; frame t is
+    # blocks[t : t+K] flattened, trimmed to n_fft.  K shifted slices + one
+    # concat instead of a [n_frames, n_fft] gather (gathers serialize on
+    # TPU; slices are free).
+    K = -(-n_fft // hop) + 1
+    n_blocks = n_frames + K
+    padded = jnp.pad(padded, (0, n_blocks * hop - padded.shape[0]))
+    blocks = padded.reshape(n_blocks, hop)
+    frames = jnp.concatenate(
+        [blocks[j:j + n_frames] for j in range(K)], axis=-1)[:, :n_fft]
+    return jnp.fft.rfft(frames * window, axis=-1)
 
 
 def istft(stft_frames: jnp.ndarray, num_samples: int,
@@ -141,10 +152,21 @@ def _inv_preemphasis_kernel(coef: float, length: int = 1500) -> np.ndarray:
 
 
 def inv_preemphasis(x: jnp.ndarray, config: AudioConfig) -> jnp.ndarray:
+    """FFT-domain FIR application.
+
+    ``jnp.convolve`` would lower to a 1-channel conv with a 1500-tap spatial
+    kernel — a degenerate case the TPU conv emitter compiles pathologically
+    slowly (>15 min observed).  Frequency-domain multiply compiles in
+    seconds and runs on the same FFT units Griffin-Lim already uses.
+    """
     if config.preemphasis == 0.0:
         return x
-    kernel = jnp.asarray(_inv_preemphasis_kernel(config.preemphasis))
-    return jnp.convolve(x, kernel)[: x.shape[0]]
+    kernel = _inv_preemphasis_kernel(config.preemphasis)
+    n = x.shape[0] + kernel.shape[0] - 1
+    fft_len = 1 << (n - 1).bit_length()
+    kernel_f = jnp.asarray(np.fft.rfft(kernel, fft_len).astype(np.complex64))
+    y = jnp.fft.irfft(jnp.fft.rfft(x, fft_len) * kernel_f, fft_len)
+    return y[: x.shape[0]].astype(x.dtype)
 
 
 def amp_to_db(x: jnp.ndarray) -> jnp.ndarray:
