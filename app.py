@@ -18,6 +18,7 @@ import argparse
 import hashlib
 import json
 import os
+import queue
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -25,7 +26,44 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from tacotron_tpu.config import Config
 from tacotron_tpu.synth import Synthesizer
 
-_synth_lock = threading.Lock()
+
+class SynthWorker:
+    """Serializes synthesis onto the main thread.
+
+    Some TPU runtimes reject compilation/execution from non-main threads
+    (observed: "UNIMPLEMENTED: TPU backend error" when called from an HTTP
+    handler thread), so the HTTP server runs on a daemon thread and the main
+    thread consumes synthesis jobs from this queue.
+    """
+
+    def __init__(self, synth: Synthesizer):
+        self.synth = synth
+        self.jobs: "queue.Queue" = queue.Queue()
+
+    def submit(self, text: str, speaker: int, timeout: float = 900.0):
+        done = threading.Event()
+        box = {}
+
+        def job():
+            try:
+                box["result"] = self.synth.synthesize(
+                    texts=[text], speaker_ids=[speaker],
+                    attention_trim=True, librosa_trim=True)
+            except Exception as e:
+                box["error"] = e
+            finally:
+                done.set()
+
+        self.jobs.put(job)
+        if not done.wait(timeout):
+            raise TimeoutError("synthesis timed out")
+        if "error" in box:
+            raise box["error"]
+        return box["result"]
+
+    def run_forever(self):
+        while True:
+            self.jobs.get()()
 
 
 INDEX_HTML = """<!doctype html>
@@ -50,7 +88,8 @@ function go() {
 """
 
 
-def make_handler(synth: Synthesizer, cache_dir: str, model_name: str):
+def make_handler(worker: SynthWorker, cache_dir: str, model_name: str):
+    synth = worker.synth
     class Handler(BaseHTTPRequestHandler):
         def _cors(self):
             self.send_header("Access-Control-Allow-Origin", "*")
@@ -105,10 +144,7 @@ def make_handler(synth: Synthesizer, cache_dir: str, model_name: str):
 
             if not os.path.exists(wav_path):
                 try:
-                    with _synth_lock:
-                        results = synth.synthesize(
-                            texts=[text], speaker_ids=[speaker],
-                            attention_trim=True, librosa_trim=True)
+                    results = worker.submit(text, speaker)
                     from tacotron_tpu.dsp import host as dsp_host
                     dsp_host.save_audio(results["wavs"][0], wav_path,
                                         synth.config.audio)
@@ -146,11 +182,13 @@ def main(argv=None) -> None:
         synth.load(args.load_path)
         model_name = os.path.basename(os.path.normpath(args.load_path))
 
+    worker = SynthWorker(synth)
     server = ThreadingHTTPServer(
         ("0.0.0.0", args.port),
-        make_handler(synth, args.cache_dir, model_name))
+        make_handler(worker, args.cache_dir, model_name))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
     print(f"[*] serving on http://0.0.0.0:{args.port} (model {model_name})")
-    server.serve_forever()
+    worker.run_forever()  # synthesis stays on the main thread
 
 
 if __name__ == "__main__":

@@ -157,6 +157,20 @@ class Synthesizer:
             self._compiled[key] = jax.jit(fwd)
         return self._compiled[key]
 
+    def _vocoder(self, n_frames: int):
+        """Jitted on-chip inversion per frame bucket (eager dispatch of the
+        Griffin-Lim loop hits unimplemented paths on some TPU runtimes and
+        is slow everywhere)."""
+        key = ("vocode", n_frames)
+        if key not in self._compiled:
+            audio_cfg = self.config.audio
+
+            def voc(spec):
+                return dsp_chip.linear_to_waveform(spec, audio_cfg)
+
+            self._compiled[key] = jax.jit(voc)
+        return self._compiled[key]
+
     # ----------------------------------------------------------- synthesize
 
     def synthesize(self, texts: Optional[Sequence[str]] = None,
@@ -247,8 +261,7 @@ class Synthesizer:
                 frames = _round_up(spec.shape[0], 64)
                 padded = np.zeros((frames, spec.shape[1]), np.float32)
                 padded[:spec.shape[0]] = spec
-                wav = np.asarray(dsp_chip.linear_to_waveform(
-                    jnp.asarray(padded), cfg.audio))
+                wav = np.asarray(self._vocoder(frames)(jnp.asarray(padded)))
                 n_samples = min(len(wav),
                                 spec.shape[0] * cfg.audio.hop_length)
                 wavs.append(wav[:n_samples])

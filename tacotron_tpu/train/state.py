@@ -58,9 +58,16 @@ def create_train_state(config: Config, rng: jax.Array,
     speaker = (jnp.zeros((batch_size,), jnp.int32)
                if config.model.num_speakers > 1 else None)
     init_rng, dropout_rng = jax.random.split(rng)
-    variables = model.init({"params": init_rng, "dropout": dropout_rng},
-                           inputs, lengths, speaker_id=speaker,
-                           mel_targets=mels, train=True)
+
+    # jit the init: un-jitted flax init dispatches the whole forward op by
+    # op (minutes on TPU); one compiled program hits the persistent cache.
+    @jax.jit
+    def init_fn(init_rng, dropout_rng):
+        return model.init({"params": init_rng, "dropout": dropout_rng},
+                          inputs, lengths, speaker_id=speaker,
+                          mel_targets=mels, train=True)
+
+    variables = init_fn(init_rng, dropout_rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
