@@ -1,0 +1,68 @@
+"""Pallas kernel tests (interpret mode on CPU): fused GRU numerics and
+gradients vs the scan implementation, and the BiGRU params adapter."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tacotron_tpu.ops.pallas.gru import (_gru_reference_scan,
+                                         bigru_from_params,
+                                         gru_sequence_ntd)
+from tacotron_tpu.ops.rnn import BiGRU
+
+
+def _params(rng, D, H):
+    wg = jnp.asarray(rng.standard_normal((D + H, 2 * H)) * 0.1, jnp.float32)
+    bg = jnp.ones((2 * H,), jnp.float32)
+    wc = jnp.asarray(rng.standard_normal((D + H, H)) * 0.1, jnp.float32)
+    bc = jnp.zeros((H,), jnp.float32)
+    return wg, bg, wc, bc
+
+
+def test_gru_sequence_matches_scan():
+    rng = np.random.default_rng(0)
+    N, T, D, H = 4, 12, 16, 8
+    x = jnp.asarray(rng.standard_normal((N, T, D)), jnp.float32)
+    h0 = jnp.asarray(rng.standard_normal((N, H)), jnp.float32)
+    wg, bg, wc, bc = _params(rng, D, H)
+    lengths = jnp.asarray([12, 7, 3, 12])
+
+    out = gru_sequence_ntd(x, h0, wg, bg, wc, bc, lengths, interpret=True)
+    mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(jnp.float32)
+    ref = _gru_reference_scan(jnp.transpose(x, (1, 0, 2)), h0,
+                              wg, bg, wc, bc, mask)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(jnp.transpose(ref, (1, 0, 2))),
+                               rtol=1e-5, atol=1e-5)
+    # masked rows emit zeros past their length
+    assert np.abs(np.asarray(out)[1, 7:]).max() == 0.0
+
+
+def test_gru_sequence_grad_matches_scan():
+    rng = np.random.default_rng(1)
+    N, T, D, H = 2, 6, 8, 8
+    x = jnp.asarray(rng.standard_normal((N, T, D)), jnp.float32)
+    h0 = jnp.zeros((N, H), jnp.float32)
+    wg, bg, wc, bc = _params(rng, D, H)
+    lengths = jnp.asarray([6, 4])
+    mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(jnp.float32)
+
+    g1 = jax.grad(lambda w: jnp.sum(gru_sequence_ntd(
+        x, h0, w, bg, wc, bc, lengths, interpret=True) ** 2))(wg)
+    g2 = jax.grad(lambda w: jnp.sum(_gru_reference_scan(
+        jnp.transpose(x, (1, 0, 2)), h0, w, bg, wc, bc, mask) ** 2))(wg)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bigru_adapter_matches_flax_module():
+    rng = np.random.default_rng(2)
+    N, T, D, H = 3, 10, 12, 8
+    x = jnp.asarray(rng.standard_normal((N, T, D)), jnp.float32)
+    lengths = jnp.asarray([10, 6, 9])
+    module = BiGRU(H)
+    variables = module.init(jax.random.PRNGKey(0), x, lengths)
+    want = module.apply(variables, x, lengths)
+    got = bigru_from_params(variables["params"], x, lengths, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
