@@ -99,6 +99,35 @@ def main() -> None:
     host_time_one = time.perf_counter() - t0
     host_throughput = (MAX_STEPS * r * hop_s) / host_time_one
 
+    # ---- secondary metric: teacher-forced training frames/sec/chip
+    import jax.numpy as jnp2  # noqa: F401
+    from tacotron_tpu.train import (Batch, create_train_state, make_optimizer,
+                                    make_train_step)
+    T_OUT = 192
+    opt = make_optimizer(cfg.train)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), opt)
+    tstep = make_train_step(cfg)
+    rng_np = np.random.default_rng(0)
+    tb = Batch(
+        inputs=jnp.asarray(inputs), input_lengths=jnp.asarray(lengths),
+        loss_coeff=jnp.ones((BATCH,), jnp.float32),
+        mel_targets=jnp.asarray(rng_np.random((BATCH, T_OUT, 80)),
+                                jnp.float32),
+        linear_targets=jnp.asarray(rng_np.random((BATCH, T_OUT, 1025)),
+                                   jnp.float32),
+        speaker_id=jnp.zeros((BATCH,), jnp.int32))
+    drng = jax.random.PRNGKey(1)
+    state, m = tstep(state, tb, drng)
+    jax.block_until_ready(m["loss"])
+    train_times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        state, m = tstep(state, tb, drng)
+        jax.block_until_ready(m["loss"])
+        train_times.append(time.perf_counter() - t0)
+    train_time = float(np.median(train_times))
+    train_frames_per_s = BATCH * T_OUT / train_time
+
     result = {
         "metric": "synthesis_throughput",
         "value": round(tpu_throughput, 2),
@@ -111,6 +140,8 @@ def main() -> None:
             "tpu_batch_seconds": round(tpu_time, 4),
             "rep_seconds": [round(t, 4) for t in rep_times],
             "cpu_baseline_audio_s_per_s": round(host_throughput, 2),
+            "training_frames_per_s_per_chip": round(train_frames_per_s, 1),
+            "training_step_seconds": round(train_time, 4),
             "device": str(jax.devices()[0]),
         },
     }

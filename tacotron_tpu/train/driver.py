@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -37,7 +37,9 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
           plan: Optional[MeshPlan] = None,
           seed: int = 123,
           log_every: int = 1,
-          test_dump_dir: Optional[str] = None) -> TrainState:
+          test_dump_dir: Optional[str] = None,
+          profile_dir: Optional[str] = None,
+          profile_steps: Tuple[int, int] = (10, 15)) -> TrainState:
     """Run the training loop; returns the final state."""
     os.makedirs(run_dir, exist_ok=True)
     init_log(os.path.join(run_dir, "train.log"), os.path.basename(run_dir))
@@ -82,8 +84,16 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
 
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
     tc = config.train
+    profiling = False
     try:
         while int(state.step) < num_steps:
+            # jax.profiler trace window (SURVEY.md §5.1: the reference only
+            # had wall-clock sec/step; this captures a real device trace)
+            if profile_dir and not profiling \
+                    and int(state.step) == profile_steps[0]:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+                log(f"profiler trace started -> {profile_dir}")
             start = time.time()
             batch = Batch(*shard_batch(plan, train_feeder.get()))
             state, metrics = step_fn(state, batch, dropout_rng)
@@ -91,6 +101,11 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
             step = int(state.step)
             time_window.append(time.time() - start)
             loss_window.append(loss)
+
+            if profiling and step >= profile_steps[1]:
+                jax.profiler.stop_trace()
+                profiling = False
+                log("profiler trace stopped")
 
             if step % log_every == 0:
                 log(f"Step {step:7d} [{time_window.average:.3f} sec/step, "
@@ -116,6 +131,8 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
                 mgr.save(state)
                 log(f"  checkpointed at step {step}")
     finally:
+        if profiling:
+            jax.profiler.stop_trace()
         train_feeder.stop()
         mgr.save(state)
         mgr.close()

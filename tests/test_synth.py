@@ -1,0 +1,85 @@
+"""Synthesizer unit tests: attention end-trim index, dB silence trim,
+post-hoc attention transforms, and an end-to-end random-weights synthesis
+through the public Synthesizer API (CPU, small shapes)."""
+
+import numpy as np
+import pytest
+
+from tacotron_tpu.config import Config, ModelConfig
+from tacotron_tpu.synth import (Synthesizer, attention_trim_index,
+                                posthoc_attention, trim_silence_db)
+
+
+def test_attention_trim_index_monotonic_path():
+    """A clean monotonic alignment reaching the text end trims right after
+    the last encoder position is first attended (reference
+    synthesizer.py:242-263)."""
+    T_in, T_dec, r = 10, 12, 4
+    align = np.zeros((T_in, T_dec), np.float32)
+    path = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9]  # reaches end at step 9
+    for t, e in enumerate(path):
+        align[e, t] = 1.0
+    end = attention_trim_index(align, seq_len=T_in, reduction_factor=r)
+    # argmax path hits end_idx=9 at decoder step 9; counter hits its cap
+    # (min(count,5)=3) at step 11 -> jdx=11 -> 4*11+3
+    assert end == r * 11 + 3
+
+
+def test_attention_trim_index_clips_to_seq_len():
+    align = np.zeros((20, 8), np.float32)
+    align[19, :] = 1.0  # attends past the logical text (padding region)
+    end = attention_trim_index(align, seq_len=5, reduction_factor=4)
+    assert end >= 3  # never negative/zero-length
+
+
+def test_trim_silence_db():
+    sr = 24000
+    speech = 0.5 * np.sin(2 * np.pi * 220 *
+                          np.arange(sr) / sr).astype(np.float32)
+    tail = np.zeros(sr, np.float32)
+    wav = np.concatenate([speech, tail])
+    out = trim_silence_db(wav, top_db=50)
+    assert len(out) < len(wav)
+    assert len(out) >= len(speech)
+    # all-silence input comes back unchanged
+    silent = np.zeros(4 * 5120, np.float32)
+    np.testing.assert_array_equal(trim_silence_db(silent), silent)
+
+
+def test_posthoc_attention_modes():
+    rng = np.random.default_rng(0)
+    al = rng.random((2, 6, 5)).astype(np.float32)  # [N, T_in, T_dec]
+    one_hot = posthoc_attention(al, 1)
+    assert one_hot.shape == al.shape
+    np.testing.assert_allclose(one_hot.sum(axis=1), np.ones((2, 5)))
+    assert set(np.unique(one_hot)) <= {0.0, 1.0}
+    # mode 3 (pruning) is the same transform as shipped in the reference
+    np.testing.assert_array_equal(posthoc_attention(al, 3), one_hot)
+    sharp = posthoc_attention(al, 2)
+    np.testing.assert_allclose(sharp.sum(axis=1), np.ones((2, 5)), rtol=1e-5)
+    with pytest.raises(ValueError):
+        posthoc_attention(al, 9)
+
+
+def test_synthesizer_end_to_end_random_weights():
+    cfg = Config().replace(model=ModelConfig(max_iters=6))
+    synth = Synthesizer().init_random(cfg)
+    out = synth.synthesize(texts=["안녕하세요", "반갑습니다 여러분 모두"],
+                           max_steps=6, vocode="host",
+                           attention_trim=True, librosa_trim=False)
+    assert len(out["wavs"]) == 2
+    for wav, align, seq in zip(out["wavs"], out["alignments"],
+                               out["sequences"]):
+        assert np.isfinite(wav).all() and wav.ndim == 1
+        assert align.shape[0] == len(seq)  # cropped to true text length
+    # the two inputs differ -> different alignments shapes per text length
+    assert out["alignments"][0].shape[0] != out["alignments"][1].shape[0]
+
+
+def test_synthesizer_vocode_none_and_bad_mode():
+    cfg = Config()
+    synth = Synthesizer().init_random(cfg)
+    out = synth.synthesize(texts=["안녕"], max_steps=4, vocode="none")
+    assert out["wavs"][0].size == 0
+    with pytest.raises(ValueError, match="vocode"):
+        synth.synthesize(texts=["안녕"], max_steps=4, vocode="loud")

@@ -35,6 +35,8 @@ def main(argv=None) -> None:
     parser.add_argument("--model_type", default=None,
                         choices=["single", "deepvoice", "simple"])
     parser.add_argument("--seed", type=int, default=123)
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of steps 10-15")
     args = parser.parse_args(argv)
 
     from tacotron_tpu import enable_compilation_cache
@@ -65,7 +67,9 @@ def main(argv=None) -> None:
           num_steps=args.num_steps,
           initialize_path=args.initialize_path,
           seed=args.seed,
-          test_dump_dir=os.path.join(run_dir, "samples"))
+          test_dump_dir=os.path.join(run_dir, "samples"),
+          profile_dir=(os.path.join(run_dir, "profile")
+                       if args.profile else None))
 
 
 if __name__ == "__main__":
