@@ -106,7 +106,8 @@ class DecoderStep(nn.Module):
             concat = jnp.concatenate([concat, carry.speaker], axis=-1)
 
         # (7) projection + (8) residual GRU stack
-        h = nn.Dense(cfg.dec_rnn_size, name="decoder_input_projection")(concat)
+        h = nn.Dense(cfg.dec_rnn_size, dtype=x.dtype,
+                     name="decoder_input_projection")(concat)
         new_dec_states = []
         for i in range(cfg.dec_layer_num):
             state, out = GRUCell(cfg.dec_rnn_size,
@@ -116,7 +117,7 @@ class DecoderStep(nn.Module):
             h = h + out
 
         # (9) r-frame projection
-        frames = nn.Dense(cfg.num_mels * cfg.reduction_factor,
+        frames = nn.Dense(cfg.num_mels * cfg.reduction_factor, dtype=x.dtype,
                           name="frame_projection")(h)
 
         new_carry = DecoderCarry(
@@ -202,6 +203,7 @@ class Tacotron(nn.Module):
             self.vocab_size, cfg.embedding_size,
             embedding_init=nn.initializers.truncated_normal(stddev=0.5),
             name="char_embedding")(inputs)
+        embedded = embedded.astype(jnp.dtype(cfg.compute_dtype))
         pre = Prenet(cfg.enc_prenet_sizes, cfg.dropout_prob,
                      name="encoder_prenet")(embedded, train)
         return CBHG(
@@ -252,6 +254,7 @@ class Tacotron(nn.Module):
         # One-time encoder-memory key projection (TF's attention
         # ``memory_layer``), hoisted out of the decode scan.
         keys = nn.Dense(cfg.attention_size, use_bias=False,
+                        dtype=memory.dtype,
                         name="attention_memory_layer")(memory)
         carry = self._initial_carry(memory, keys, cond, is_manual)
 
@@ -289,13 +292,16 @@ class Tacotron(nn.Module):
         """
         cfg = self.cfg
         r = cfg.reduction_factor
+        compute_dtype = jnp.dtype(cfg.compute_dtype)
         cond = self._speaker_conditioning(speaker_id)
+        if compute_dtype != jnp.float32:
+            cond = jax.tree.map(lambda x: x.astype(compute_dtype), cond)
         memory = self.encode(inputs, input_lengths, cond, train)
 
         if mel_targets is not None:
             # teacher forcing: feed every r-th target frame, shifted right by
             # one group behind a zero GO frame (reference helpers.py:44,60-67)
-            taken = mel_targets[:, r - 1::r, :]
+            taken = mel_targets.astype(compute_dtype)[:, r - 1::r, :]
             go = jnp.zeros_like(taken[:, :1])
             decoder_inputs = jnp.concatenate([go, taken[:, :-1]], axis=1)
             num_steps = decoder_inputs.shape[1]
@@ -320,10 +326,13 @@ class Tacotron(nn.Module):
                 cond.embed[:, None, :],
                 (N, post.shape[1], cond.embed.shape[-1]))
             post = jnp.concatenate([tiled, post], axis=-1)
-        linear_outputs = nn.Dense(cfg.num_freq, name="linear_projection")(post)
+        linear_outputs = nn.Dense(cfg.num_freq, dtype=post.dtype,
+                                  name="linear_projection")(post)
 
+        # losses/vocoding always see float32 regardless of compute dtype
         return {
-            "mel_outputs": mel_outputs,
-            "linear_outputs": linear_outputs,
-            "alignments": jnp.transpose(align_history, (0, 2, 1)),
+            "mel_outputs": mel_outputs.astype(jnp.float32),
+            "linear_outputs": linear_outputs.astype(jnp.float32),
+            "alignments": jnp.transpose(align_history, (0, 2, 1)).astype(
+                jnp.float32),
         }

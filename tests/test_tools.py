@@ -104,3 +104,28 @@ def test_transcribe_batch_with_fake_recognizer(tmp_path):
                             recognize_fn=fake_recognize)
     assert out2 == out and len(calls) == 2
     assert os.path.exists(tmp_path / "recognition.json")
+
+
+def test_book_align():
+    from tacotron_tpu.tools.book_align import BookIndex, align_book
+    book = ("옛날 옛적에 한 소년이 살았습니다 소년은 매일 아침 일찍 일어나 "
+            "숲으로 갔습니다 숲에서 그는 여러 동물 친구들을 만났습니다 "
+            "어느 날 커다란 곰이 나타나 소년에게 말을 걸었습니다 "
+            "둘은 곧 가장 친한 친구가 되었습니다")
+    rec = {
+        # clean ASR of a middle span
+        "c1.wav": "숲에서 그는 여러 동물 친구들을 만났습니다",
+        # ASR with one wrong word: still anchors via surviving ngrams
+        "c2.wav": "어느 날 커다란 호랑이가 나타나 소년에게 말을 걸었습니다",
+        # out-of-book babble: low confidence -> uncertain list
+        "c3.wav": "완전히 관련 없는 내용의 문장입니다 전혀 다른 이야기",
+    }
+    out = align_book(rec, book, ngram=2, confidence_threshold=0.3)
+    assert out["c1.wav"] == "숲에서 그는 여러 동물 친구들을 만났습니다"
+    assert isinstance(out["c2.wav"], str) and "곰이" in out["c2.wav"]
+    assert isinstance(out["c3.wav"], list)
+
+    idx = BookIndex(book, 2)
+    start, end, cov = idx.locate(rec["c1.wav"])
+    assert cov == 1.0
+    assert " ".join(idx.words[start:end]) == rec["c1.wav"]
