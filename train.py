@@ -37,10 +37,17 @@ def main(argv=None) -> None:
     parser.add_argument("--seed", type=int, default=123)
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of steps 10-15")
+    parser.add_argument("--distributed", action="store_true",
+                        help="join a multi-host pod slice "
+                             "(jax.distributed.initialize)")
     args = parser.parse_args(argv)
 
     from tacotron_tpu import enable_compilation_cache
     enable_compilation_cache()
+    if args.distributed:
+        from tacotron_tpu.parallel import distributed_initialize, runtime_info
+        distributed_initialize()
+        print(f"[*] distributed: {runtime_info()}")
 
     data_paths = [p for p in args.data_paths.split(",") if p]
     config = load_config(args.config) if args.config else Config()
