@@ -72,17 +72,20 @@ def main() -> None:
                           max_steps=MAX_STEPS)
         wavs = dsp_chip.batched_linear_to_waveform(
             out["linear_outputs"], cfg.audio)
-        return wavs
+        # scalar checksum: float() on it is a true host sync.  On tunneled
+        # TPU backends block_until_ready can return before device completion,
+        # yielding fake sub-ms timings — never trust it in timed regions.
+        return wavs, jnp.sum(jnp.abs(wavs))
 
     inputs_j, lengths_j = jnp.asarray(inputs), jnp.asarray(lengths)
-    wavs = jax.block_until_ready(synth_batch(variables, inputs_j, lengths_j))
-    assert np.isfinite(np.asarray(wavs)).all()
+    wavs, chk = synth_batch(variables, inputs_j, lengths_j)
+    assert np.isfinite(float(chk))
 
     rep_times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        wavs = jax.block_until_ready(
-            synth_batch(variables, inputs_j, lengths_j))
+        _, chk = synth_batch(variables, inputs_j, lengths_j)
+        float(chk)
         rep_times.append(time.perf_counter() - t0)
     tpu_time = float(np.median(rep_times))
 
@@ -118,12 +121,12 @@ def main() -> None:
         speaker_id=jnp.zeros((BATCH,), jnp.int32))
     drng = jax.random.PRNGKey(1)
     state, m = tstep(state, tb, drng)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     train_times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         state, m = tstep(state, tb, drng)
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])  # true host sync (see synth note)
         train_times.append(time.perf_counter() - t0)
     train_time = float(np.median(train_times))
     train_frames_per_s = BATCH * T_OUT / train_time
