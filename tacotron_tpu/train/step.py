@@ -93,7 +93,11 @@ def make_train_step(config: Config, plan: Optional[MeshPlan] = None,
         new_params = optax.apply_updates(state.params, updates)
 
         grad_norm = optax.global_norm(grads)
+        # param_norm depends on the full update chain, so fetching it on the
+        # host is a true end-of-step sync (and a useful drift diagnostic)
+        param_norm = optax.global_norm(new_params)
         metrics = {
+            "param_norm": param_norm,
             "loss": losses["loss"],
             "mel_loss": losses["mel_loss"],
             "linear_loss": losses["linear_loss"],

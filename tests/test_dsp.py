@@ -150,3 +150,29 @@ class TestAudioIO:
         assert abs(len(loaded) - len(y)) < 4
         corr = np.corrcoef(loaded[: len(y)], y[: len(loaded)])[0, 1]
         assert corr > 0.99
+
+
+def test_griffin_lim_matmul_matches_fft_engine():
+    """The bf16 MXU Griffin-Lim must track the fft engine closely (it is
+    the serving default; 'fft' remains for strict parity)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from tacotron_tpu.dsp import chip
+
+    cfg_fft = dataclasses.replace(AudioConfig(), griffin_lim_impl="fft",
+                                  griffin_lim_iters=8)
+    cfg_mm = dataclasses.replace(cfg_fft, griffin_lim_impl="matmul_bf16")
+    rng = np.random.default_rng(0)
+    n_frames = 12
+    num_samples = (n_frames - 1) * cfg_fft.hop_length
+    mag = jnp.asarray(rng.random((n_frames, 1025)).astype(np.float32))
+    wa = np.asarray(chip.griffin_lim(mag, num_samples, cfg_fft))
+    wb = np.asarray(chip.griffin_lim(mag, num_samples, cfg_mm))
+    corr = np.corrcoef(wa, wb)[0, 1]
+    assert corr > 0.98, corr
+    # scale preserved
+    assert 0.95 < wb.std() / wa.std() < 1.05
+
+    with pytest.raises(ValueError, match="griffin_lim_impl"):
+        chip.griffin_lim(mag, num_samples, dataclasses.replace(
+            cfg_fft, griffin_lim_impl="warp"))
