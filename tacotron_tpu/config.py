@@ -146,6 +146,9 @@ class DataConfig:
     ``datasets/datafeeder.py:96-99``)."""
 
     cleaners: str = "korean_cleaners"
+    # "korean" (80-symbol jamo set, the reference default) or "english"
+    # (ASCII set the reference shipped commented out)
+    symbol_set: str = "korean"
     min_tokens: int = 50
     min_iters: int = 30
     max_iters: int = 200

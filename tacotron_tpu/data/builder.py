@@ -136,7 +136,8 @@ def build_from_path(metadata_path: str, config: Config,
     skipped = 0
     for audio_path, text in texts.items():
         try:
-            tokens = text_to_sequence(text, cleaners)
+            tokens = text_to_sequence(text, cleaners,
+                                      symbol_set=config.data.symbol_set)
         except Exception:
             skipped += 1
             continue

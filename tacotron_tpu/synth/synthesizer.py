@@ -30,10 +30,15 @@ from ..dsp import chip as dsp_chip
 from ..dsp import host as dsp_host
 from ..models.tacotron import Tacotron
 from ..text import text_to_sequence
-from ..text.symbols import EOS_ID
+from ..text.symbols import EOS_ID, vocab_size_for
 from ..train.checkpoint import CheckpointManager, load_run_config
 from ..train.optim import make_optimizer
 from ..train.state import abstract_train_state, create_train_state
+
+
+def _model_for(config: Config) -> Tacotron:
+    return Tacotron(config.model,
+                    vocab_size=vocab_size_for(config.data.symbol_set))
 
 
 def attention_trim_index(alignment: np.ndarray, seq_len: int,
@@ -114,7 +119,7 @@ class Synthesizer:
     def load(self, run_dir: str, step: Optional[int] = None,
              config: Optional[Config] = None) -> "Synthesizer":
         self.config = config or load_run_config(run_dir)
-        self.model = Tacotron(self.config.model)
+        self.model = _model_for(self.config)
         optimizer = make_optimizer(self.config.train)
         # abstract template: restore without compiling a train-mode init
         template = abstract_train_state(self.config, optimizer)
@@ -131,7 +136,7 @@ class Synthesizer:
                     seed: int = 0) -> "Synthesizer":
         """Fresh random weights (testing / benchmarking without a run)."""
         self.config = config
-        self.model = Tacotron(config.model)
+        self.model = _model_for(config)
         optimizer = make_optimizer(config.train)
         state = create_train_state(config, jax.random.PRNGKey(seed),
                                    optimizer)
@@ -193,7 +198,9 @@ class Synthesizer:
         cfg = self.config
         cleaners = [c.strip() for c in cfg.data.cleaners.split(",")]
         if sequences is None:
-            sequences = [text_to_sequence(t, cleaners) for t in texts]
+            sequences = [text_to_sequence(t, cleaners,
+                                          symbol_set=cfg.data.symbol_set)
+                         for t in texts]
         seq_lens = [len(s) for s in sequences]
         N = len(sequences)
 

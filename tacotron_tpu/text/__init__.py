@@ -20,13 +20,16 @@ import numpy as np
 from . import cleaners as _cleaners_module
 from .cleaners import get_cleaner
 from .korean import jamo_to_korean
-from .symbols import (ALL_SYMBOLS, EOS, EOS_ID, PAD, PAD_ID, VOCAB_SIZE,
-                      char_to_id, id_to_char, symbols)
+from .symbols import (ALL_SYMBOLS, EN_SYMBOLS, EOS, EOS_ID, PAD, PAD_ID,
+                      SYMBOL_SETS, VOCAB_SIZE, char_to_id, get_symbol_set,
+                      id_to_char, symbols, vocab_size_for)
 
 __all__ = [
     "text_to_sequence", "sequence_to_text", "tokens_to_ids",
-    "ALL_SYMBOLS", "EOS", "EOS_ID", "PAD", "PAD_ID", "VOCAB_SIZE",
-    "char_to_id", "id_to_char", "symbols", "jamo_to_korean", "get_cleaner",
+    "ALL_SYMBOLS", "EN_SYMBOLS", "EOS", "EOS_ID", "PAD", "PAD_ID",
+    "SYMBOL_SETS", "VOCAB_SIZE", "char_to_id", "get_symbol_set",
+    "id_to_char", "symbols", "jamo_to_korean", "get_cleaner",
+    "vocab_size_for",
 ]
 
 _CURLY_RE = re.compile(r"(.*?)\{(.+?)\}(.*)")
@@ -37,22 +40,39 @@ DEFAULT_CLEANERS = ("korean_cleaners",)
 def text_to_sequence(
         text: str,
         cleaner_names: Sequence[str] = DEFAULT_CLEANERS,
-        as_token: bool = False):
-    """Convert text to an int32 array of symbol ids, EOS-terminated."""
+        as_token: bool = False,
+        symbol_set: str = "korean"):
+    """Convert text to an int32 array of symbol ids, EOS-terminated.
+
+    ``symbol_set`` selects the vocabulary ("korean" 80-symbol jamo set, the
+    reference default, or "english" ASCII letters)."""
+    table = _tables(symbol_set)[0]
     sequence: list[int] = []
     while text:
         match = _CURLY_RE.match(text)
         if not match:
-            sequence.extend(_encode(_clean(text, cleaner_names)))
+            sequence.extend(_encode(_clean(text, cleaner_names), table))
             break
-        sequence.extend(_encode(_clean(match.group(1), cleaner_names)))
-        sequence.extend(_encode("@" + s for s in match.group(2).split()))
+        sequence.extend(_encode(_clean(match.group(1), cleaner_names),
+                                table))
+        sequence.extend(_encode(("@" + s for s in match.group(2).split()),
+                                table))
         text = match.group(3)
 
     sequence.append(EOS_ID)
     if as_token:
         return sequence_to_text(sequence, combine_jamo=True)
     return np.asarray(sequence, dtype=np.int32)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=4)
+def _tables(symbol_set: str):
+    syms = get_symbol_set(symbol_set)
+    return ({c: i for i, c in enumerate(syms)},
+            {i: c for i, c in enumerate(syms)})
 
 
 def tokens_to_ids(tokens: Iterable[str]) -> np.ndarray:
@@ -64,11 +84,13 @@ def tokens_to_ids(tokens: Iterable[str]) -> np.ndarray:
 def sequence_to_text(
         sequence: Iterable[int],
         skip_eos_and_pad: bool = False,
-        combine_jamo: bool = False) -> str:
+        combine_jamo: bool = False,
+        symbol_set: str = "korean") -> str:
     """Invert ``text_to_sequence`` (reference ``text/__init__.py:61-79``)."""
+    inverse = _tables(symbol_set)[1]
     result = ""
     for symbol_id in sequence:
-        symbol = id_to_char.get(int(symbol_id))
+        symbol = inverse.get(int(symbol_id))
         if symbol is None:
             continue
         if len(symbol) > 1 and symbol.startswith("@"):
@@ -86,10 +108,12 @@ def _clean(text: str, cleaner_names: Sequence[str]):
     return text
 
 
-def _encode(cleaned) -> list[int]:
+def _encode(cleaned, table=None) -> list[int]:
     """Symbols (string or token list) -> ids, dropping PAD/EOS/unknowns."""
-    return [char_to_id[s] for s in cleaned if _keep(s)]
+    table = char_to_id if table is None else table
+    return [table[s] for s in cleaned if _keep(s, table)]
 
 
-def _keep(symbol: str) -> bool:
-    return symbol in char_to_id and symbol not in (PAD, EOS)
+def _keep(symbol: str, table=None) -> bool:
+    table = char_to_id if table is None else table
+    return symbol in table and symbol not in (PAD, EOS)

@@ -31,3 +31,25 @@ PAD_ID = char_to_id[PAD]
 EOS_ID = char_to_id[EOS]
 
 VOCAB_SIZE = len(ALL_SYMBOLS)
+
+# English/ASCII vocabulary.  The reference ships this commented out
+# (``/root/reference/text/symbols.py:12``) — its Korean set is always
+# active, so English synthesis was not actually usable there.  Here it is a
+# first-class selectable set with the same PAD/EOS ids.
+EN_LETTERS = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+              "abcdefghijklmnopqrstuvwxyz")
+EN_SYMBOLS = PAD + EOS + EN_LETTERS + PUNCTUATION + SPACE
+
+SYMBOL_SETS = {"korean": ALL_SYMBOLS, "english": EN_SYMBOLS}
+
+
+def get_symbol_set(name: str) -> str:
+    try:
+        return SYMBOL_SETS[name]
+    except KeyError:
+        raise ValueError(f"unknown symbol set {name!r}; "
+                         f"choose from {sorted(SYMBOL_SETS)}") from None
+
+
+def vocab_size_for(name: str) -> int:
+    return len(get_symbol_set(name))

@@ -143,10 +143,10 @@ def _dump_samples(state: TrainState, batch: Batch, config: Config,
                   step: int, out_dir: str, n: int = 1) -> None:
     """Periodic qualitative artifacts (reference ``train.py:246-270``):
     teacher-forced linear output -> Griffin-Lim wav + alignment png."""
-    from ..models.tacotron import Tacotron
     from ..utils.plot import plot_alignment
+    from .state import create_model
     os.makedirs(out_dir, exist_ok=True)
-    model = Tacotron(config.model)
+    model = create_model(config)
     speaker = (batch.speaker_id if config.model.num_speakers > 1 else None)
     out = model.apply(
         {"params": state.params, "batch_stats": state.batch_stats},

@@ -16,6 +16,7 @@ from flax import struct
 
 from ..config import Config
 from ..models.tacotron import Tacotron
+from ..text.symbols import vocab_size_for
 
 
 @struct.dataclass
@@ -27,8 +28,10 @@ class TrainState:
 
 
 def create_model(config: Config) -> Tacotron:
-    """Model registry (reference ``models/__init__.py:6-7``)."""
-    return Tacotron(config.model)
+    """Model registry (reference ``models/__init__.py:6-7``); the embedding
+    size follows the configured symbol set."""
+    return Tacotron(config.model,
+                    vocab_size=vocab_size_for(config.data.symbol_set))
 
 
 def abstract_train_state(config: Config,

@@ -29,7 +29,7 @@ from ..models.tacotron import Tacotron
 from ..parallel import MeshPlan
 from .losses import tacotron_loss
 from .optim import learning_rate_schedule, make_optimizer
-from .state import TrainState
+from .state import TrainState, create_model
 
 
 class Batch(NamedTuple):
@@ -72,7 +72,7 @@ def make_train_step(config: Config, plan: Optional[MeshPlan] = None,
     With a mesh plan, in/out shardings are annotated so the same function is
     the single-chip and the multi-chip program.
     """
-    model = Tacotron(config.model)
+    model = create_model(config)
     optimizer = make_optimizer(config.train, randomly_initialized)
     schedule = learning_rate_schedule(config.train, randomly_initialized)
 
@@ -133,7 +133,7 @@ def make_train_step(config: Config, plan: Optional[MeshPlan] = None,
 def make_eval_step(config: Config, plan: Optional[MeshPlan] = None):
     """Teacher-forced eval step: losses only, no state mutation
     (the reference's reused-scope test model, ``train.py:158-169``)."""
-    model = Tacotron(config.model)
+    model = create_model(config)
 
     def eval_fn(state: TrainState, batch: Batch) -> Dict[str, jnp.ndarray]:
         losses, _, _ = _forward_loss(

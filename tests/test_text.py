@@ -168,3 +168,28 @@ class TestEnglishNumbers:
         from tacotron_tpu.text.cleaners import english_cleaners
         out = english_cleaners("Dr. Smith bought 2 apples for $3.")
         assert out == "doctor smith bought two apples for three dollars."
+
+
+def test_english_symbol_set_end_to_end():
+    """The English ASCII set (shipped commented-out in the reference,
+    text/symbols.py:12) is a first-class option here."""
+    from tacotron_tpu.text import (text_to_sequence, sequence_to_text,
+                                   vocab_size_for)
+    seq = text_to_sequence("Hello Dr. Smith, pay $5!", ["english_cleaners"],
+                           symbol_set="english")
+    out = sequence_to_text(seq, skip_eos_and_pad=True, symbol_set="english")
+    assert out == "hello doctor smith, pay five dollars!"
+    assert vocab_size_for("english") == 65
+    assert vocab_size_for("korean") == 80
+    import pytest
+    with pytest.raises(ValueError, match="symbol set"):
+        text_to_sequence("x", symbol_set="klingon")
+
+
+def test_english_config_builds_english_model():
+    from tacotron_tpu.config import Config, DataConfig
+    from tacotron_tpu.train.state import create_model
+    cfg = Config().replace(data=DataConfig(cleaners="english_cleaners",
+                                           symbol_set="english"))
+    model = create_model(cfg)
+    assert model.vocab_size == 65
