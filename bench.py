@@ -39,7 +39,7 @@ def main() -> None:
     cfg = Config()
     BATCH = 16
     MAX_STEPS = 50           # 50 * r=4 = 200 frames = 2.5 s audio each
-    REPS = 3
+    REPS = 5
 
     synth = Synthesizer().init_random(cfg)
 
