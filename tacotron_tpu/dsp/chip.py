@@ -27,15 +27,6 @@ from .primitives import inv_mel_basis, mel_basis, padded_window
 
 
 @functools.lru_cache(maxsize=32)
-def _frame_indices(num_samples: int, n_fft: int, hop: int) -> np.ndarray:
-    """[n_frames, n_fft] gather indices into a center-padded signal."""
-    padded = num_samples + n_fft
-    n_frames = 1 + (padded - n_fft) // hop
-    return (np.arange(n_frames)[:, None] * hop
-            + np.arange(n_fft)[None, :]).astype(np.int32)
-
-
-@functools.lru_cache(maxsize=32)
 def _window_sumsquare(n_frames: int, n_fft: int, hop: int,
                       win_length: int) -> np.ndarray:
     """Overlap-added squared window, for iSTFT normalization."""

@@ -181,3 +181,28 @@ def test_feeder_feeds_train_step(corpus):
                     jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
     assert not bool(m["diverged"])
+
+
+def test_feeder_sampling_ratios(corpus):
+    """main_data_greedy_factor biases the per-dataset sampling weights
+    (reference datafeeder.py:110-125); initial greedy phase draws from the
+    main dataset only (datafeeder.py:222-232)."""
+    from tacotron_tpu.config import TrainConfig, DataConfig
+    import dataclasses
+    cfg = _tiny_config()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, main_data=("spk0",), main_data_greedy_factor=1.0,
+        initial_phase_step=0))
+    feeder = DataFeeder(corpus, cfg, data_type="train", batch_size=2,
+                        n_test=0)
+    r0 = feeder.data_ratio[feeder.data_dirs[0]]
+    r1 = feeder.data_ratio[feeder.data_dirs[1]]
+    assert abs(r0 - 2 / 3) < 1e-6 and abs(r1 - 1 / 3) < 1e-6
+
+    # greedy phase: all examples come from the main dataset (speaker 0)
+    cfg2 = cfg.replace(train=dataclasses.replace(
+        cfg.train, initial_phase_step=1000, initial_data_greedy=True))
+    feeder2 = DataFeeder(corpus, cfg2, data_type="train", batch_size=2,
+                         n_test=0)
+    batch = next(feeder2.batches())
+    assert set(np.unique(batch.speaker_id)) == {0}
