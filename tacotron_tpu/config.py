@@ -159,6 +159,10 @@ class DataConfig:
     # pads to the per-batch max, which would trigger recompilation under jit).
     bucket_size_tokens: int = 32
     bucket_size_frames: int = 64
+    # Pad every batch to the corpus-wide maximum instead: exactly ONE train
+    # program (no per-bucket recompiles, ~15 s each on TPU) at the cost of
+    # more padding FLOPs. Worth it when utterance lengths are homogeneous.
+    pad_to_corpus_max: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -65,9 +65,13 @@ def scan_data_dirs(data_dirs: Sequence[str], config: Config,
                    skip_filter: bool = False,
                    blacklists: Sequence[str] = (),
                    process_index: int = 0,
-                   process_count: int = 1) -> Dict[str, List[str]]:
+                   process_count: int = 1,
+                   corpus_max: Optional[dict] = None) -> Dict[str, List[str]]:
     """Discover + filter per-dir npz paths and split train/test
-    (reference ``get_path_dict``, ``datafeeder.py:27-76``)."""
+    (reference ``get_path_dict``, ``datafeeder.py:27-76``).
+
+    When ``corpus_max`` (a dict) is passed, records the corpus-wide maxima
+    under keys ``tokens``/``frames`` for fixed-shape padding."""
     dc, mc = config.data, config.model
     min_frames = mc.reduction_factor * dc.min_iters
     max_frames = mc.reduction_factor * dc.max_iters - mc.reduction_factor
@@ -89,6 +93,11 @@ def scan_data_dirs(data_dirs: Sequence[str], config: Config,
                 if (min_frames <= n_frame <= max_frames
                         and n_tokens >= dc.min_tokens):
                     kept.append(path)
+                    if corpus_max is not None:
+                        corpus_max["tokens"] = max(
+                            corpus_max.get("tokens", 0), n_tokens)
+                        corpus_max["frames"] = max(
+                            corpus_max.get("frames", 0), n_frame)
             paths = kept
         # Split on the sorted order, THEN shuffle the train subset.  (The
         # reference shuffles before splitting on the train side only,
@@ -126,10 +135,12 @@ class DataFeeder:
         self.rng = np.random.RandomState(seed)
         self._step = start_step
 
+        self.corpus_max: dict = {}
         self.path_dict = scan_data_dirs(
             data_dirs, config, data_type,
             n_test if n_test is not None else self.batch_size,
-            self.rng, skip_filter, blacklists, process_index, process_count)
+            self.rng, skip_filter, blacklists, process_index, process_count,
+            corpus_max=self.corpus_max)
         self.data_dirs = list(self.path_dict.keys())
         self.dir_to_id = {d: i for i, d in enumerate(self.data_dirs)}
         self._offsets = {d: 0 for d in self.data_dirs}
@@ -239,10 +250,14 @@ class DataFeeder:
         r = self.config.model.reduction_factor
 
         max_tokens = max(len(e.tokens) for e in examples)
+        max_frames = max(e.n_frames for e in examples) + 1
+        if dc.pad_to_corpus_max and self.corpus_max:
+            # one static shape for the whole run -> exactly one XLA program
+            max_tokens = max(max_tokens, self.corpus_max["tokens"])
+            max_frames = max(max_frames, self.corpus_max["frames"] + 1)
         tok_len = _round_up(max(max_tokens, 1), dc.bucket_size_tokens)
         # +1 then round up to r, like the reference (_prepare_targets), then
         # up to the frame bucket for shape stability
-        max_frames = max(e.n_frames for e in examples) + 1
         frame_len = _round_up(_round_up(max_frames, r),
                               max(dc.bucket_size_frames, r))
 

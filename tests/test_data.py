@@ -206,3 +206,18 @@ def test_feeder_sampling_ratios(corpus):
                          n_test=0)
     batch = next(feeder2.batches())
     assert set(np.unique(batch.speaker_id)) == {0}
+
+
+def test_feeder_pad_to_corpus_max(corpus):
+    """pad_to_corpus_max yields one static shape for every batch."""
+    import dataclasses
+    cfg = _tiny_config()
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, pad_to_corpus_max=True))
+    feeder = DataFeeder(corpus, cfg, data_type="train", batch_size=2,
+                        n_test=0)
+    it = feeder.batches()
+    shapes = {next(it).mel_targets.shape for _ in range(6)}
+    assert len(shapes) == 1
+    tok_shapes = {b.inputs.shape for b in [next(it) for _ in range(4)]}
+    assert len(tok_shapes) == 1
