@@ -269,6 +269,7 @@ class DataFeeder:
         linear = np.zeros((n, frame_len, examples[0].linear.shape[1]),
                           np.float32)
         speaker = np.zeros((n,), np.int32)
+        target_lengths = np.zeros((n,), np.int32)
         for i, e in enumerate(examples):
             inputs[i, :len(e.tokens)] = e.tokens
             input_lengths[i] = len(e.tokens)
@@ -276,9 +277,11 @@ class DataFeeder:
             mel[i, :e.n_frames] = e.mel
             linear[i, :e.n_frames] = e.linear
             speaker[i] = e.speaker_id
+            target_lengths[i] = e.n_frames
         return Batch(inputs=inputs, input_lengths=input_lengths,
                      loss_coeff=loss_coeff, mel_targets=mel,
-                     linear_targets=linear, speaker_id=speaker)
+                     linear_targets=linear, speaker_id=speaker,
+                     target_lengths=target_lengths)
 
     # ------------------------------------------------------------ iteration
 

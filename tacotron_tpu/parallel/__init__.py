@@ -12,11 +12,11 @@ there is no hand-written collective here, by design.
 
 from .distributed import initialize as distributed_initialize
 from .distributed import runtime_info
-from .mesh import (MeshPlan, batch_sharding, local_batch_slice, make_mesh,
+from .mesh import (MeshPlan, batch_sharding, make_mesh,
                    replicated_sharding, shard_batch)
 
 __all__ = [
     "MeshPlan", "batch_sharding", "distributed_initialize",
-    "local_batch_slice", "make_mesh", "replicated_sharding", "runtime_info",
+    "make_mesh", "replicated_sharding", "runtime_info",
     "shard_batch",
 ]

@@ -74,20 +74,28 @@ def replicated_sharding(plan: MeshPlan) -> NamedSharding:
 
 def shard_batch(plan: MeshPlan, batch: Any) -> Any:
     """Place a host-resident batch pytree onto the mesh, sharded on the
-    leading axis (the DataFeeder's successor to ``sess.run(enqueue)``)."""
+    leading axis (the DataFeeder's successor to ``sess.run(enqueue)``).
+
+    Single process: a plain sharded ``device_put``.  Multi-host: each
+    process's feeder already reads a disjoint stripe of the corpus
+    (``data/feeder.py`` ``process_index``/``process_count``), so the rows
+    this host built ARE its local shard of the global batch — they are
+    stitched into one global array with
+    ``jax.make_array_from_process_local_data``, and the *global* batch size
+    is ``local_batch * process_count`` (per-host work is constant; nothing
+    each host prepares is discarded).
+    """
     sharding = plan.batch()
-    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding),
-                        batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), sharding), batch)
 
-
-def local_batch_slice(plan: MeshPlan, global_batch: int,
-                      process_index: Optional[int] = None) -> slice:
-    """Which rows of the global batch this host is responsible for feeding
-    (per-host input sharding for multi-host DP)."""
     procs = jax.process_count()
-    idx = jax.process_index() if process_index is None else process_index
-    if global_batch % procs:
-        raise ValueError(f"global batch {global_batch} not divisible by "
-                         f"{procs} processes")
-    per = global_batch // procs
-    return slice(idx * per, (idx + 1) * per)
+
+    def _stitch(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * procs,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape=global_shape)
+
+    return jax.tree.map(_stitch, batch)

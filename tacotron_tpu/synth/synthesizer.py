@@ -208,8 +208,15 @@ class Synthesizer:
         inputs = np.zeros((N, bucket), np.int32)
         for i, s in enumerate(sequences):
             inputs[i, :len(s)] = s
-        # input_lengths from EOS position, like synthesizer.py:120
-        input_lengths = np.argmax(inputs == EOS_ID, axis=1) + 1
+        # input_lengths from EOS position (+1 so the length includes the EOS
+        # token, matching training-time lengths — a deliberate deviation from
+        # reference synthesizer.py:120, which uses the bare EOS index).  For
+        # caller-supplied sequences without an EOS, argmax of all-False is 0
+        # and would mask the whole input; fall back to the true length.
+        has_eos = (inputs == EOS_ID).any(axis=1)
+        input_lengths = np.where(
+            has_eos, np.argmax(inputs == EOS_ID, axis=1) + 1,
+            np.asarray(seq_lens)).astype(np.int32)
 
         steps = max_steps or cfg.model.max_iters
         spk = (np.asarray(speaker_ids, np.int32)

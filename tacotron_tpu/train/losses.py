@@ -9,6 +9,18 @@ from uncertain ASR, ``datasets/generate_data.py:66-82``), with an optional
 Note the reference deliberately does NOT mask padding frames — the decoder is
 trained to emit zeros past the end of the utterance (its stop criterion,
 ``models/helpers.py:26-32``).  We keep that semantics for parity.
+
+One TPU-first correction is needed on top: the reference pads each batch to
+``round_up(batch_max_frames + 1, r)`` (``datasets/datafeeder.py:313-326``)
+and its L1 *means* are taken over exactly that many frames.  Our feeder pads
+further — to a static frame bucket (or the corpus max) so XLA compiles a
+fixed set of programs.  Taking a plain ``mean`` over the bucket-padded tensor
+would divide by a batch-varying padded length and dilute the loss/gradient
+scale relative to the reference.  So when ``target_lengths`` is given, the
+means are normalized by the *reference-equivalent* frame count
+``round_up(max(target_lengths) + 1, r)``: frames the reference would train on
+(including its own zero padding) are kept unmasked, frames that exist only
+because of bucket padding are excluded from both numerator and denominator.
 """
 
 from __future__ import annotations
@@ -24,9 +36,16 @@ def tacotron_loss(mel_outputs: jnp.ndarray, linear_outputs: jnp.ndarray,
                   mel_targets: jnp.ndarray, linear_targets: jnp.ndarray,
                   loss_coeff: Optional[jnp.ndarray],
                   train_config: TrainConfig,
-                  audio_config: AudioConfig) -> Dict[str, jnp.ndarray]:
+                  audio_config: AudioConfig,
+                  target_lengths: Optional[jnp.ndarray] = None,
+                  reduction_factor: int = 1) -> Dict[str, jnp.ndarray]:
     """Returns dict with ``loss`` (optimized), ``mel_loss``, ``linear_loss``,
-    and ``loss_without_coeff`` (reported), matching the reference fields."""
+    and ``loss_without_coeff`` (reported), matching the reference fields.
+
+    ``target_lengths`` ([N] int32, true frame counts before padding) enables
+    the reference-equivalent normalization described in the module docstring;
+    without it the means run over the full padded tensors (only correct when
+    the batch is padded exactly like the reference)."""
     if loss_coeff is None:
         loss_coeff = jnp.ones((mel_outputs.shape[0],), mel_outputs.dtype)
     coeff = loss_coeff[:, None, None].astype(mel_outputs.dtype)
@@ -34,20 +53,41 @@ def tacotron_loss(mel_outputs: jnp.ndarray, linear_outputs: jnp.ndarray,
     mel_l1 = jnp.abs(mel_targets - mel_outputs)
     lin_l1 = jnp.abs(linear_targets - linear_outputs)
 
+    n_frames_padded = mel_targets.shape[1]
+    if target_lengths is not None:
+        r = max(1, int(reduction_factor))
+        # reference pad length: batch max + 1, rounded up to r
+        # (datafeeder.py:313-326, _round_up)
+        ref_len = jnp.max(target_lengths) + 1
+        ref_len = ((ref_len + r - 1) // r) * r
+        ref_len = jnp.minimum(ref_len, n_frames_padded)
+        frame_mask = (jnp.arange(n_frames_padded)[None, :, None]
+                      < ref_len).astype(mel_l1.dtype)
+        denom_frames = ref_len.astype(mel_l1.dtype)
+    else:
+        frame_mask = jnp.ones((1, 1, 1), mel_l1.dtype)
+        denom_frames = jnp.asarray(float(n_frames_padded), mel_l1.dtype)
+
+    batch = mel_l1.shape[0]
+
+    def _mean(x: jnp.ndarray) -> jnp.ndarray:
+        """Mean over the reference-equivalent region [N, ref_len, D]."""
+        return jnp.sum(x * frame_mask) / (batch * denom_frames * x.shape[-1])
+
     if train_config.prioritize_loss:
         nyquist = audio_config.sample_rate * 0.5
         lo = int(165 / nyquist * audio_config.num_freq)
         hi = int(5000 / nyquist * audio_config.num_freq)
         lin_priority = lin_l1[:, :, lo:hi]
-        loss = (jnp.mean(mel_l1 * coeff)
-                + 0.5 * jnp.mean(lin_l1 * coeff)
-                + 0.5 * jnp.mean(lin_priority * coeff))
-        linear_loss = 0.5 * (jnp.mean(lin_l1) + jnp.mean(lin_priority))
+        loss = (_mean(mel_l1 * coeff)
+                + 0.5 * _mean(lin_l1 * coeff)
+                + 0.5 * _mean(lin_priority * coeff))
+        linear_loss = 0.5 * (_mean(lin_l1) + _mean(lin_priority))
     else:
-        loss = jnp.mean(mel_l1 * coeff) + jnp.mean(lin_l1 * coeff)
-        linear_loss = jnp.mean(lin_l1)
+        loss = _mean(mel_l1 * coeff) + _mean(lin_l1 * coeff)
+        linear_loss = _mean(lin_l1)
 
-    mel_loss = jnp.mean(mel_l1)
+    mel_loss = _mean(mel_l1)
     return {
         "loss": loss,
         "mel_loss": mel_loss,

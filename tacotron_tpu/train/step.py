@@ -42,6 +42,9 @@ class Batch(NamedTuple):
     mel_targets: jnp.ndarray     # [N, T_out, num_mels]
     linear_targets: jnp.ndarray  # [N, T_out, num_freq]
     speaker_id: jnp.ndarray      # [N] int32
+    # true frame counts before padding; enables reference-equivalent loss
+    # normalization under bucket padding (see train/losses.py docstring)
+    target_lengths: Optional[jnp.ndarray] = None  # [N] int32
 
 
 def _forward_loss(model: Tacotron, config: Config, params, batch_stats,
@@ -61,7 +64,9 @@ def _forward_loss(model: Tacotron, config: Config, params, batch_stats,
         new_stats = batch_stats
     losses = tacotron_loss(out["mel_outputs"], out["linear_outputs"],
                            batch.mel_targets, batch.linear_targets,
-                           batch.loss_coeff, config.train, config.audio)
+                           batch.loss_coeff, config.train, config.audio,
+                           target_lengths=batch.target_lengths,
+                           reduction_factor=config.model.reduction_factor)
     return losses, out, new_stats
 
 

@@ -49,6 +49,37 @@ def test_loss_coeff_weighting():
                                float(full["loss_without_coeff"]), rtol=1e-6)
 
 
+def test_bucket_padding_does_not_dilute_loss():
+    """With target_lengths, the loss is invariant to extra bucket padding and
+    equals the plain mean over the reference-equivalent pad length
+    (ADVICE r1 medium: bucket pads diluted the unmasked-L1 means)."""
+    tc, ac = TrainConfig(), AudioConfig()
+    rng = np.random.default_rng(3)
+    N, T, r = 2, 12, 4
+    mel_o = jnp.asarray(rng.random((N, T, 80)), jnp.float32)
+    mel_t = jnp.asarray(rng.random((N, T, 80)), jnp.float32)
+    lin_o = jnp.asarray(rng.random((N, T, 1025)), jnp.float32)
+    lin_t = jnp.asarray(rng.random((N, T, 1025)), jnp.float32)
+    # ref pad length = round_up(max(11)+1, 4) = 12 == T exactly
+    lengths = jnp.asarray([9, 11], jnp.int32)
+    base = tacotron_loss(mel_o, lin_o, mel_t, lin_t, None, tc, ac,
+                         target_lengths=lengths, reduction_factor=r)
+    # reference semantics on the exactly-reference-padded tensors
+    ref = tacotron_loss(mel_o, lin_o, mel_t, lin_t, None, tc, ac)
+    np.testing.assert_allclose(float(base["loss"]), float(ref["loss"]),
+                               rtol=1e-6)
+
+    def pad(x):  # 24 extra all-zero bucket-padding frames
+        return jnp.pad(x, ((0, 0), (0, 24), (0, 0)))
+
+    padded = tacotron_loss(pad(mel_o), pad(lin_o), pad(mel_t), pad(lin_t),
+                           None, tc, ac,
+                           target_lengths=lengths, reduction_factor=r)
+    for k in ("loss", "mel_loss", "linear_loss", "loss_without_coeff"):
+        np.testing.assert_allclose(float(padded[k]), float(base[k]),
+                                   rtol=1e-6, err_msg=k)
+
+
 def test_prioritized_loss_band():
     """prioritize_loss re-weights the 165 Hz..5 kHz band
     (reference models/tacotron.py:284-295)."""
