@@ -143,6 +143,45 @@ def test_train_step_decreases_loss_on_mesh():
     assert np.isfinite(float(em["loss"]))
 
 
+def test_sharded_step_matches_unsharded():
+    """DP correctness: the 8-device sharded train step produces the same
+    params, metrics, and BatchNorm stats as the unsharded step on the same
+    batch and rng (a sharding-spec mistake — e.g. per-replica BN means —
+    would diverge here)."""
+    cfg = Config().replace(train=TrainConfig(decay_learning_rate_mode=1))
+    plan = make_mesh()
+    batch = _toy_batch(N=8, seed=7)
+    batch = batch._replace(
+        target_lengths=jnp.full((8,), batch.mel_targets.shape[1], jnp.int32))
+    rng = jax.random.PRNGKey(2)
+    opt = make_optimizer(cfg.train)
+
+    state_a = create_train_state(cfg, jax.random.PRNGKey(0), opt)
+    step_sharded = make_train_step(cfg, plan)
+    sa, ma = step_sharded(state_a, Batch(*shard_batch(plan, batch)), rng)
+    sa, ma = step_sharded(sa, Batch(*shard_batch(plan, batch)), rng)
+
+    state_b = create_train_state(cfg, jax.random.PRNGKey(0), opt)
+    step_single = make_train_step(cfg)
+    sb, mb = step_single(state_b, batch, rng)
+    sb, mb = step_single(sb, batch, rng)
+
+    for k in ("loss", "mel_loss", "linear_loss", "loss_without_coeff",
+              "grad_norm", "param_norm"):
+        np.testing.assert_allclose(float(ma[k]), float(mb[k]), rtol=2e-4,
+                                   err_msg=k)
+    # params: Adam divides tiny grads by tiny second moments, amplifying
+    # reduction-order float noise; a real sharding bug (per-replica BN,
+    # missing grad reduce) shows up as O(1) relative error, far above this
+    for pa, pb in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-2, atol=5e-4)
+    for qa, qb in zip(jax.tree.leaves(sa.batch_stats),
+                      jax.tree.leaves(sb.batch_stats)):
+        np.testing.assert_allclose(np.asarray(qa), np.asarray(qb),
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_checkpoint_resume_and_warm_start(tmp_path):
     cfg = Config()
     opt = make_optimizer(cfg.train)
