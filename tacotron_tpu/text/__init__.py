@@ -29,7 +29,7 @@ __all__ = [
     "ALL_SYMBOLS", "EN_SYMBOLS", "EOS", "EOS_ID", "PAD", "PAD_ID",
     "SYMBOL_SETS", "VOCAB_SIZE", "char_to_id", "get_symbol_set",
     "id_to_char", "symbols", "jamo_to_korean", "get_cleaner",
-    "vocab_size_for",
+    "vocab_size_for", "round_trip_errors",
 ]
 
 _CURLY_RE = re.compile(r"(.*?)\{(.+?)\}(.*)")
@@ -100,6 +100,25 @@ def sequence_to_text(
         result += symbol
     result = result.replace("}{", " ")
     return jamo_to_korean(result) if combine_jamo else result
+
+
+def round_trip_errors(texts: Sequence[str],
+                      cleaner_names: Sequence[str] = DEFAULT_CLEANERS,
+                      symbol_set: str = "korean") -> list:
+    """Startup sanity check (reference ``train.py:27-40``): encode each text
+    and decode it back; returns ``(text, cleaned, decoded)`` triples that
+    fail to round-trip to the cleaned, in-vocabulary symbol string."""
+    table = _tables(symbol_set)[0]
+    errors = []
+    for text in texts:
+        seq = text_to_sequence(text, cleaner_names, symbol_set=symbol_set)
+        decoded = sequence_to_text(seq, skip_eos_and_pad=True,
+                                   symbol_set=symbol_set)
+        cleaned = "".join(s for s in _clean(text, cleaner_names)
+                          if _keep(s, table))
+        if decoded != cleaned:
+            errors.append((text, cleaned, decoded))
+    return errors
 
 
 def _clean(text: str, cleaner_names: Sequence[str]):

@@ -19,7 +19,8 @@ from ..config import Config
 from ..data.feeder import DataFeeder
 from ..dsp import host as dsp_host
 from ..parallel import MeshPlan, make_mesh, shard_batch
-from ..utils import ValueWindow, init_log, log
+from ..utils import (MetricsLogger, ValueWindow, get_git_diff,
+                     get_git_revision_hash, init_log, log)
 from .checkpoint import CheckpointManager, warm_start
 from .optim import make_optimizer
 from .state import TrainState, create_train_state
@@ -39,11 +40,38 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
           log_every: int = 1,
           test_dump_dir: Optional[str] = None,
           profile_dir: Optional[str] = None,
-          profile_steps: Tuple[int, int] = (10, 15)) -> TrainState:
+          profile_steps: Tuple[int, int] = (10, 15),
+          webhook_url: Optional[str] = None,
+          skip_path_filter: bool = False,
+          blacklists: Sequence[str] = ()) -> TrainState:
     """Run the training loop; returns the final state."""
     os.makedirs(run_dir, exist_ok=True)
-    init_log(os.path.join(run_dir, "train.log"), os.path.basename(run_dir))
+    init_log(os.path.join(run_dir, "train.log"), os.path.basename(run_dir),
+             webhook_url=webhook_url)
     log(config.debug_string())
+
+    # provenance: git hash + working-tree diff into the run dir
+    # (reference train.py:43-47,119-124)
+    git_hash = get_git_revision_hash()
+    log(f"git revision: {git_hash}")
+    with open(os.path.join(run_dir, "git_info.txt"), "w",
+              encoding="utf-8") as f:
+        f.write(f"hash: {git_hash}\n\n{get_git_diff()}")
+
+    # eval-text round-trip self-check (reference train.py:27-40): a broken
+    # frontend should fail at startup, not after hours of training
+    if config.data.symbol_set == "korean":
+        from ..text import round_trip_errors
+        from ..text.eval_sentences import EVAL_TEXTS
+        cleaners = [c.strip() for c in config.data.cleaners.split(",")]
+        errors = round_trip_errors(EVAL_TEXTS, cleaners,
+                                   symbol_set=config.data.symbol_set)
+        if errors:
+            for text, cleaned, decoded in errors:
+                log(f"eval-text round-trip FAILED: {text!r} -> "
+                    f"{decoded!r} != {cleaned!r}")
+            raise ValueError("eval texts do not round-trip through the "
+                             "text frontend (see log)")
 
     plan = plan or make_mesh(config.mesh)
     log(f"mesh: {dict(plan.mesh.shape)} over {len(plan.mesh.devices.flat)} "
@@ -71,11 +99,13 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
         data_paths, config, data_type="train",
         process_index=jax.process_index(),
         process_count=jax.process_count(), seed=seed,
+        skip_filter=skip_path_filter, blacklists=blacklists,
         start_step=int(state.step)).start()
     test_feeder = DataFeeder(
         data_paths, config, data_type="test",
         process_index=jax.process_index(),
-        process_count=jax.process_count(), seed=seed)
+        process_count=jax.process_count(), seed=seed,
+        skip_filter=skip_path_filter, blacklists=blacklists)
     test_batch = Batch(*shard_batch(plan, next(test_feeder.batches())))
 
     step_fn = make_train_step(config, plan, randomly_initialized)
@@ -85,6 +115,8 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
     tc = config.train
     profiling = False
+    # persisted scalars (the reference's TB summary set, train.py:50-77)
+    metrics_log = MetricsLogger(os.path.join(run_dir, "metrics.jsonl"))
     try:
         while int(state.step) < num_steps:
             # jax.profiler trace window (SURVEY.md §5.1: the reference only
@@ -110,6 +142,16 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
             if step % log_every == 0:
                 log(f"Step {step:7d} [{time_window.average:.3f} sec/step, "
                     f"loss={loss:.5f}, avg_loss={loss_window.average:.5f}]")
+                metrics_log.write(step, {
+                    "loss": loss,
+                    "mel_loss": metrics["mel_loss"],
+                    "linear_loss": metrics["linear_loss"],
+                    "loss_without_coeff": metrics["loss_without_coeff"],
+                    "learning_rate": metrics["learning_rate"],
+                    "grad_norm": metrics["grad_norm"],
+                    "param_norm": metrics["param_norm"],
+                    "sec_per_step": time_window.average,
+                })
 
             if bool(metrics["diverged"]):
                 log(f"Loss exploded to {loss:.5f} at step {step}!",
@@ -118,11 +160,17 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
 
             if step % tc.test_interval == 0:
                 em = eval_fn(state, test_batch)
+                gap = float(em["loss"]) - loss_window.average
                 log(f"  eval @ {step}: loss={float(em['loss']):.5f} "
                     f"mel={float(em['mel_loss']):.5f} "
                     f"linear={float(em['linear_loss']):.5f} "
-                    f"(train-test gap "
-                    f"{float(em['loss']) - loss_window.average:+.5f})")
+                    f"(train-test gap {gap:+.5f})")
+                metrics_log.write(step, {
+                    "loss": em["loss"], "mel_loss": em["mel_loss"],
+                    "linear_loss": em["linear_loss"],
+                    "loss_without_coeff": em["loss_without_coeff"],
+                    "train_test_gap": gap,
+                }, kind="eval")
                 if test_dump_dir:
                     _dump_samples(state, test_batch, config, step,
                                   test_dump_dir)
@@ -134,6 +182,7 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
         if profiling:
             jax.profiler.stop_trace()
         train_feeder.stop()
+        metrics_log.close()
         mgr.save(state)
         mgr.close()
     return state

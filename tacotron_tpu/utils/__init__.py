@@ -2,10 +2,12 @@
 plotting, parallel map (reference ``/root/reference/utils/``)."""
 
 from .infolog import init as init_log, log
+from .metrics import MetricsLogger, read_metrics
 from .misc import (ValueWindow, parallel_run, prepare_dirs, str2bool,
                    get_git_revision_hash, get_git_diff)
 
 __all__ = [
-    "ValueWindow", "get_git_diff", "get_git_revision_hash", "init_log",
-    "log", "parallel_run", "prepare_dirs", "str2bool",
+    "MetricsLogger", "ValueWindow", "get_git_diff", "get_git_revision_hash",
+    "init_log", "log", "parallel_run", "prepare_dirs", "read_metrics",
+    "str2bool",
 ]

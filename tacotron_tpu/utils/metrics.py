@@ -1,0 +1,63 @@
+"""Persisted scalar training metrics: ``metrics.jsonl`` in the run dir.
+
+Successor to the reference's TensorBoard summaries
+(``/root/reference/train.py:50-77``: mel/linear/total loss, learning rate,
+max gradient norm, train-test gap).  Instead of TB event files this writes
+one JSON object per line — trivially consumable by pandas/jq and by the
+bf16-vs-f32 convergence study — with the same scalar set plus wall time and
+sec/step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+
+class MetricsLogger:
+    """Append-only JSONL scalar log.  One ``write()`` per interval."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.path = path
+        self._file = open(path, "a", encoding="utf-8")
+
+    def write(self, step: int, scalars: Dict[str, float],
+              kind: str = "train") -> None:
+        record = {"step": int(step), "kind": kind,
+                  "wall_time": time.time()}
+        for key, value in scalars.items():
+            try:
+                record[key] = float(value)
+            except (TypeError, ValueError):
+                record[key] = value
+        self._file.write(json.dumps(record) + "\n")
+        self._file.flush()
+
+    def close(self) -> None:
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+
+    def __enter__(self) -> "MetricsLogger":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def read_metrics(path: str, kind: Optional[str] = None) -> List[dict]:
+    """Load a metrics.jsonl; optionally filter by record kind
+    ("train"/"eval")."""
+    records = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            if kind is None or rec.get("kind") == kind:
+                records.append(rec)
+    return records

@@ -208,6 +208,37 @@ def test_feeder_sampling_ratios(corpus):
     assert set(np.unique(batch.speaker_id)) == {0}
 
 
+def test_train_driver_writes_metrics_and_provenance(corpus, tmp_path):
+    """The driver persists per-interval scalars (metrics.jsonl — the
+    reference's TB summary set, train.py:50-77) and git provenance
+    (train.py:43-47), and the eval-text self-check passes at startup."""
+    import dataclasses
+    from tacotron_tpu.train.driver import train
+    from tacotron_tpu.utils import read_metrics
+
+    cfg = _tiny_config()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, test_interval=2, checkpoint_interval=2,
+        decay_learning_rate_mode=1))
+    import jax
+    from tacotron_tpu.parallel import make_mesh
+    plan = make_mesh(devices=jax.devices()[:2])  # batch 2 over 2 devices
+    run_dir = str(tmp_path / "run")
+    state = train(run_dir, corpus, cfg, num_steps=3, log_every=1, plan=plan)
+    assert int(state.step) == 3
+
+    trains = read_metrics(os.path.join(run_dir, "metrics.jsonl"),
+                          kind="train")
+    assert len(trains) >= 3
+    assert {"loss", "mel_loss", "linear_loss", "learning_rate",
+            "grad_norm", "param_norm", "sec_per_step"} <= trains[0].keys()
+    evals = read_metrics(os.path.join(run_dir, "metrics.jsonl"), kind="eval")
+    assert evals and "train_test_gap" in evals[0]
+
+    with open(os.path.join(run_dir, "git_info.txt")) as fh:
+        assert fh.read().startswith("hash: ")
+
+
 def test_feeder_pad_to_corpus_max(corpus):
     """pad_to_corpus_max yields one static shape for every batch."""
     import dataclasses

@@ -35,6 +35,15 @@ def main(argv=None) -> None:
     parser.add_argument("--model_type", default=None,
                         choices=["single", "deepvoice", "simple"])
     parser.add_argument("--seed", type=int, default=123)
+    parser.add_argument("--skip_path_filter", action="store_true",
+                        help="bypass corpus frame/token filtering "
+                             "(reference train.py:291-292 debug flag)")
+    parser.add_argument("--blacklists", default="",
+                        help="comma-separated path substrings to exclude "
+                             "(reference datafeeder.py:31 son/yuinna list)")
+    parser.add_argument("--webhook_url", default=None,
+                        help="POST notifications here on divergence etc. "
+                             "(reference Slack hook, utils/infolog.py)")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of steps 10-15")
     parser.add_argument("--distributed", action="store_true",
@@ -76,7 +85,10 @@ def main(argv=None) -> None:
           seed=args.seed,
           test_dump_dir=os.path.join(run_dir, "samples"),
           profile_dir=(os.path.join(run_dir, "profile")
-                       if args.profile else None))
+                       if args.profile else None),
+          webhook_url=args.webhook_url,
+          skip_path_filter=args.skip_path_filter,
+          blacklists=[b for b in args.blacklists.split(",") if b])
 
 
 if __name__ == "__main__":
