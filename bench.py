@@ -6,12 +6,24 @@ greedy decode (text -> mel -> linear) plus on-chip 60-iteration Griffin-Lim
 vocoding, the full serving path of the reference
 (``/root/reference/synthesizer.py:69-287``, ``app.py:55-84``).
 
+Two synthesis numbers are measured:
+- ``value`` / ``tpu_batch_seconds``: the raw fused program (decode + batched
+  GL in one jit) — the device capability;
+- ``serving_audio_s_per_s``: through ``Synthesizer.synthesize`` (text
+  frontend, bucketing, attention trim, batched vocoder, host transfers) —
+  the number a user of the product API actually gets.
+
 ``vs_baseline``: the reference serves on CPU TF1.3 (``run.sh`` sets
 ``CUDA_VISIBLE_DEVICES=``); its dominant cost is the same 60-iteration
 Griffin-Lim on CPU (librosa). The baseline here is this framework's own
 host (numpy/scipy) inversion of the identical spectrograms — a faithful
 stand-in for the reference CPU path, measured fresh on this machine.
 north-star target: vs_baseline >= 10 (BASELINE.md).
+
+Timing discipline: every measured function returns a scalar checksum that is
+``float()``-ed inside the timed region (block_until_ready on tunneled TPU
+backends can return early); >= 3 warmup calls; 20 reps; median with p10/p90
+spread reported.
 """
 
 from __future__ import annotations
@@ -23,6 +35,23 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import numpy as np  # noqa: E402
+
+WARMUP = 3
+REPS = 20
+
+
+def _timed(fn, reps: int = REPS, warmup: int = WARMUP):
+    """Median + p10/p90 of ``fn()`` wall time; fn must host-sync itself."""
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    arr = np.asarray(times)
+    return (float(np.median(arr)), float(np.percentile(arr, 10)),
+            float(np.percentile(arr, 90)))
 
 
 def main() -> None:
@@ -39,7 +68,6 @@ def main() -> None:
     cfg = Config()
     BATCH = 16
     MAX_STEPS = 50           # 50 * r=4 = 200 frames = 2.5 s audio each
-    REPS = 5
 
     synth = Synthesizer().init_random(cfg)
 
@@ -81,16 +109,23 @@ def main() -> None:
     wavs, chk = synth_batch(variables, inputs_j, lengths_j)
     assert np.isfinite(float(chk))
 
-    rep_times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        _, chk = synth_batch(variables, inputs_j, lengths_j)
-        float(chk)
-        rep_times.append(time.perf_counter() - t0)
-    tpu_time = float(np.median(rep_times))
+    tpu_time, tpu_p10, tpu_p90 = _timed(
+        lambda: float(synth_batch(variables, inputs_j, lengths_j)[1]))
 
     audio_seconds = BATCH * MAX_STEPS * r * hop_s
     tpu_throughput = audio_seconds / tpu_time
+
+    # ---- serving path: the product API end to end (text_to_sequence,
+    # bucketing, greedy decode, attention trim, batched vocoder, host copies)
+    def serve():
+        res = synth.synthesize(texts=texts, max_steps=MAX_STEPS,
+                               attention_trim=False, librosa_trim=False)
+        return sum(len(w) for w in res["wavs"])
+
+    serve_samples = serve()
+    serve_time, serve_p10, serve_p90 = _timed(serve)
+    serve_audio_s = serve_samples / cfg.audio.sample_rate
+    serve_throughput = serve_audio_s / serve_time
 
     # ---- CPU baseline: host (numpy) Griffin-Lim of the same spectrograms,
     # the reference's serving hot path. One utterance, scaled to the batch.
@@ -103,7 +138,6 @@ def main() -> None:
     host_throughput = (MAX_STEPS * r * hop_s) / host_time_one
 
     # ---- secondary metric: teacher-forced training frames/sec/chip
-    import jax.numpy as jnp2  # noqa: F401
     from tacotron_tpu.train import (Batch, create_train_state, make_optimizer,
                                     make_train_step)
     T_OUT = 192
@@ -118,18 +152,19 @@ def main() -> None:
                                 jnp.float32),
         linear_targets=jnp.asarray(rng_np.random((BATCH, T_OUT, 1025)),
                                    jnp.float32),
-        speaker_id=jnp.zeros((BATCH,), jnp.int32))
+        speaker_id=jnp.zeros((BATCH,), jnp.int32),
+        target_lengths=jnp.full((BATCH,), T_OUT - 1, jnp.int32))
     drng = jax.random.PRNGKey(1)
-    state, m = tstep(state, tb, drng)
-    float(m["param_norm"])
-    train_times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        state, m = tstep(state, tb, drng)
+
+    state_box = [state]
+
+    def train_once():
+        new_state, m = tstep(state_box[0], tb, drng)
+        state_box[0] = new_state
         # param_norm depends on the full update chain -> true end-of-step sync
         float(m["param_norm"])
-        train_times.append(time.perf_counter() - t0)
-    train_time = float(np.median(train_times))
+
+    train_time, train_p10, train_p90 = _timed(train_once)
     train_frames_per_s = BATCH * T_OUT / train_time
 
     result = {
@@ -140,12 +175,21 @@ def main() -> None:
         "detail": {
             "batch": BATCH,
             "decode_steps": MAX_STEPS,
+            "reps": REPS,
             "audio_seconds_per_batch": round(audio_seconds, 2),
             "tpu_batch_seconds": round(tpu_time, 4),
-            "rep_seconds": [round(t, 4) for t in rep_times],
+            "tpu_batch_seconds_p10_p90": [round(tpu_p10, 4),
+                                          round(tpu_p90, 4)],
+            "serving_audio_s_per_s": round(serve_throughput, 2),
+            "serving_batch_seconds": round(serve_time, 4),
+            "serving_batch_seconds_p10_p90": [round(serve_p10, 4),
+                                              round(serve_p90, 4)],
+            "serving_vs_raw": round(serve_throughput / tpu_throughput, 3),
             "cpu_baseline_audio_s_per_s": round(host_throughput, 2),
             "training_frames_per_s_per_chip": round(train_frames_per_s, 1),
             "training_step_seconds": round(train_time, 4),
+            "training_step_seconds_p10_p90": [round(train_p10, 4),
+                                              round(train_p90, 4)],
             "device": str(jax.devices()[0]),
         },
     }

@@ -140,9 +140,18 @@ def map_tf1_variables(tensors: Dict[str, np.ndarray]
             _set(params, ("decoder", "attention", "attention_v"),
                  arr.reshape(-1, 1))
             continue
-        if rest.endswith("attention_score_bias") or rest.endswith(
-                "attention_b"):
-            _set(params, ("decoder", "attention", "score_bias"), arr)
+        if rest.endswith("attention_score_bias"):
+            # scalar bias of the monotonic mechanism only
+            _set(params, ("decoder", "attention", "score_bias"),
+                 arr.reshape(()))
+            continue
+        if rest.endswith("attention_b"):
+            # [U] bias of normalized Bahdanau (bah_norm) — NOT score_bias
+            _set(params, ("decoder", "attention", "attention_b"), arr)
+            continue
+        if rest.endswith("attention_g"):
+            _set(params, ("decoder", "attention", "attention_g"),
+                 arr.reshape(()))
             continue
         # decoder cells (TF1.3 dynamic_decode scope, best-effort):
         m = re.match(
@@ -202,34 +211,50 @@ def map_tf1_variables(tensors: Dict[str, np.ndarray]
     return params, stats, unmatched
 
 
-def import_tf1_checkpoint(prefix: str) -> Tuple[dict, dict, List[str]]:
-    """Read a reference ``model.ckpt-N`` and map to flax trees."""
-    return map_tf1_variables(read_checkpoint(prefix))
+def import_tf1_checkpoint(prefix: str, config: Optional[Config] = None
+                          ) -> Tuple[dict, dict, List[str]]:
+    """Read a reference ``model.ckpt-N`` and map to flax trees.
+
+    With a config, the exact rule table (:mod:`.names`) is used — zero
+    residue expected; without one, the lenient regex mapper covers the
+    common scopes."""
+    tensors = read_checkpoint(prefix)
+    if config is not None:
+        from .names import import_tf1
+        params, stats, unmatched, _ = import_tf1(tensors, config)
+        return params, stats, unmatched
+    return map_tf1_variables(tensors)
 
 
 def import_report(prefix: str, config: Optional[Config] = None) -> str:
     """Human-readable mapping report: what matched, what didn't, and (with a
-    config) which target leaves are still unfilled."""
+    config) which rule targets the bundle did not fill."""
     import jax
 
-    params, stats, unmatched = import_tf1_checkpoint(prefix)
+    tensors = read_checkpoint(prefix)
+    if config is not None:
+        from .names import import_tf1
+        params, stats, unmatched, unfilled = import_tf1(tensors, config)
+        lines = [f"mapped params leaves: {len(jax.tree.leaves(params))}",
+                 f"mapped batch_stats leaves: {len(jax.tree.leaves(stats))}",
+                 f"unmatched source variables: {len(unmatched)}"]
+        lines += [f"  ? {n}" for n in unmatched]
+        lines.append(f"rule targets not in bundle: {len(unfilled)}")
+        lines += [f"  ! {n}" for n in unfilled]
+        return "\n".join(lines)
+
+    params, stats, unmatched = map_tf1_variables(tensors)
     lines = [f"mapped params leaves: {len(jax.tree.leaves(params))}",
              f"mapped batch_stats leaves: {len(jax.tree.leaves(stats))}",
              f"unmatched source variables: {len(unmatched)}"]
     lines += [f"  ? {n}" for n in unmatched]
-    if config is not None:
-        from ..train.optim import make_optimizer
-        from ..train.state import abstract_train_state
-        template = abstract_train_state(config,
-                                        make_optimizer(config.train))
-        want = {"/".join(map(str, path)): leaf.shape
-                for path, leaf in
-                jax.tree_util.tree_flatten_with_path(template.params)[0]}
-        got = {"/".join(str(getattr(k, "key", k)) for k in path)
-               for path, _ in
-               jax.tree_util.tree_flatten_with_path(params)[0]}
-        missing = [k for k in want if not any(k in g or g in k
-                                              for g in got)]
-        lines.append(f"target leaves not filled: {len(missing)}")
-        lines += [f"  ! {k} {want[k]}" for k in missing]
     return "\n".join(lines)
+
+
+def export_tf1_checkpoint(prefix: str, params: dict, batch_stats: dict,
+                          config: Config) -> None:
+    """Write trained flax params as a TF1 bundle under the exact reference
+    variable names (readable by the reference's ``Saver.restore``)."""
+    from .bundle import write_checkpoint
+    from .names import export_tf1
+    write_checkpoint(prefix, export_tf1(params, batch_stats, config))

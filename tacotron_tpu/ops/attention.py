@@ -90,8 +90,9 @@ class BahdanauAttention(nn.Module):
         v = self.param("attention_v", nn.initializers.lecun_normal(),
                        (self.num_units, 1), self.param_dtype)
         if self.normalize:
+            import math
             g = self.param("attention_g", nn.initializers.constant(
-                float(jnp.sqrt(1.0 / self.num_units))), (), self.param_dtype)
+                math.sqrt(1.0 / self.num_units)), (), self.param_dtype)
             b = self.param("attention_b", nn.initializers.zeros,
                            (self.num_units,), self.param_dtype)
             vn = (g.astype(query.dtype) * v[:, 0]

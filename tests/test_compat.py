@@ -103,3 +103,115 @@ def test_map_tf1_variables_core_paths():
     assert params["attention_memory_layer"]["kernel"].shape == (256, 256)
     # optimizer slots skipped silently; unknown inference vars reported
     assert unmatched == ["inference/mystery_variable"]
+
+
+def _variant_config(mt, ns, ses, att="bah_mon"):
+    import dataclasses
+    from tacotron_tpu.config import Config
+    cfg = Config()
+    return cfg.replace(model=dataclasses.replace(
+        cfg.model, model_type=mt, num_speakers=ns,
+        speaker_embedding_size=ses, attention_type=att))
+
+
+@pytest.mark.parametrize("mt,ns,ses,att", [
+    ("single", 1, 16, "bah_mon"),
+    ("deepvoice", 4, 16, "bah_mon"),
+    ("deepvoice", 4, 1, "bah_mon"),
+    ("simple", 4, 16, "bah_mon"),
+    ("single", 1, 16, "bah_norm"),
+])
+def test_tf1_bundle_roundtrip_zero_residue(tmp_path, mt, ns, ses, att):
+    """export -> TF1 bundle -> import: zero unmatched, zero unfilled, and
+    every leaf bit-identical — so loading a real son/park checkpoint
+    (/root/reference/download.py:82-109) reduces to a download."""
+    import jax
+    from tacotron_tpu.compat import (export_tf1_checkpoint,
+                                     import_tf1_checkpoint, import_report)
+    from tacotron_tpu.compat.names import import_tf1
+    from tacotron_tpu.compat.bundle import read_checkpoint
+    from tacotron_tpu.train.state import create_model
+
+    cfg = _variant_config(mt, ns, ses, att)
+    model = create_model(cfg)
+    inputs = np.zeros((2, 8), np.int32)
+    lengths = np.full((2,), 8, np.int32)
+    spk = np.zeros((2,), np.int32) if ns > 1 else None
+    variables = model.init(
+        {"params": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+        inputs, lengths, speaker_id=spk, train=False, max_steps=4)
+    params0 = variables["params"]
+    stats0 = variables.get("batch_stats", {})
+
+    prefix = str(tmp_path / "model.ckpt-777")
+    export_tf1_checkpoint(prefix, params0, stats0, cfg)
+
+    tensors = read_checkpoint(prefix)
+    params, stats, unmatched, unfilled = import_tf1(tensors, cfg)
+    assert unmatched == [], unmatched[:5]
+    assert unfilled == [], unfilled[:5]
+
+    # bit-identical leaves -> bit-identical forward
+    flat0 = jax.tree_util.tree_flatten_with_path(params0)[0]
+    flat1 = dict(
+        ("/".join(str(getattr(k, "key", k)) for k in path), leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0])
+    assert len(flat0) == len(flat1)
+    for path, leaf in flat0:
+        key = "/".join(str(getattr(k, "key", k)) for k in path)
+        np.testing.assert_array_equal(np.asarray(leaf), flat1[key],
+                                      err_msg=key)
+
+    out0 = model.apply({"params": params0, "batch_stats": stats0},
+                       inputs, lengths, speaker_id=spk, train=False,
+                       max_steps=4)
+    out1 = model.apply({"params": params, "batch_stats": stats},
+                       inputs, lengths, speaker_id=spk, train=False,
+                       max_steps=4)
+    np.testing.assert_array_equal(np.asarray(out0["linear_outputs"]),
+                                  np.asarray(out1["linear_outputs"]))
+
+    report = import_report(prefix, cfg)
+    assert "unmatched source variables: 0" in report
+    assert "rule targets not in bundle: 0" in report
+
+
+def test_tf1_synthetic_reference_bundle(tmp_path):
+    """A bundle carrying the complete transcribed reference name inventory
+    (decoder wrapper-stack scopes included) imports with zero residue and
+    drives a forward pass."""
+    from tacotron_tpu.compat import tf1_variable_inventory, write_checkpoint
+    from tacotron_tpu.compat import import_tf1_checkpoint
+    from tacotron_tpu.train.state import create_model
+
+    cfg = _variant_config("deepvoice", 2, 16)
+    inv = tf1_variable_inventory(cfg)
+    # the decoder wrapper-stack scopes are present and exact
+    dec = ("model/inference/decoder/output_projection_wrapper/multi_rnn_cell"
+           "/cell_0/output_projection_wrapper/"
+           "concat_output_and_attention_wrapper/attention_wrapper")
+    assert f"{dec}/bahdanau_monotonic_attention/attention_score_bias" in inv
+    assert f"{dec}/decoder_prenet_wrapper/gru_cell/gates/kernel" in inv
+    assert inv[f"{dec}/bahdanau_monotonic_attention/attention_v"] == (256,)
+
+    rng = np.random.default_rng(5)
+    tensors = {}
+    for name, shape in inv.items():
+        if name == "model/global_step":
+            tensors[name] = np.asarray(1000, np.int64)
+        elif name.endswith("moving_variance"):
+            tensors[name] = rng.uniform(0.5, 1.5, shape).astype(np.float32)
+        else:
+            tensors[name] = (0.05 * rng.standard_normal(shape)).astype(
+                np.float32)
+    prefix = str(tmp_path / "model.ckpt-1000")
+    write_checkpoint(prefix, tensors)
+
+    params, stats, unmatched = import_tf1_checkpoint(prefix, cfg)
+    assert unmatched == []
+    model = create_model(cfg)
+    out = model.apply(
+        {"params": params, "batch_stats": stats},
+        np.zeros((1, 8), np.int32), np.full((1,), 8, np.int32),
+        speaker_id=np.zeros((1,), np.int32), train=False, max_steps=4)
+    assert np.isfinite(np.asarray(out["linear_outputs"])).all()
