@@ -105,6 +105,35 @@ def posthoc_attention(alignments: np.ndarray, mode: int) -> np.ndarray:
     raise ValueError(f"unknown manual_attention_mode {mode}")
 
 
+def make_sharded_synthesis(config: Config, plan, max_steps: int):
+    """Mesh-sharded batched synthesis: greedy decode + on-chip Griffin-Lim,
+    batch sharded over the ``data`` axis, params replicated.
+
+    The multi-chip serving program (SURVEY §2.5 "batched decode
+    collectives"): each chip decodes and vocodes its batch shard; XLA
+    inserts no cross-chip collectives on this path beyond the initial
+    broadcast — throughput scales linearly with chips.  Returns
+    ``fn(variables, inputs, input_lengths, speaker_id) -> (wavs,
+    alignments)``, jitted with shardings baked in.
+    """
+    model = _model_for(config)
+    batch_sh = plan.batch()
+    repl = plan.replicated()
+
+    def fn(variables, inputs, input_lengths, speaker_id):
+        out = model.apply(variables, inputs, input_lengths,
+                          speaker_id=speaker_id, train=False,
+                          max_steps=max_steps)
+        wavs = dsp_chip.batched_linear_to_waveform(out["linear_outputs"],
+                                                   config.audio)
+        return wavs, out["alignments"]
+
+    spk_sh = batch_sh if config.model.num_speakers > 1 else None
+    return jax.jit(fn,
+                   in_shardings=(repl, batch_sh, batch_sh, spk_sh),
+                   out_shardings=(batch_sh, batch_sh))
+
+
 class Synthesizer:
     """Load once, synthesize many (reference ``synthesizer.py:28-67``)."""
 

@@ -83,3 +83,39 @@ def test_synthesizer_vocode_none_and_bad_mode():
     assert out["wavs"][0].size == 0
     with pytest.raises(ValueError, match="vocode"):
         synth.synthesize(texts=["안녕"], max_steps=4, vocode="loud")
+
+
+def test_sharded_synthesis_on_mesh():
+    """Batched decode + Griffin-Lim sharded over the 8-device data axis
+    matches the single-device program (SURVEY §2.5 batched decode row)."""
+    import jax
+    import jax.numpy as jnp
+    from tacotron_tpu.parallel import make_mesh
+    from tacotron_tpu.synth.synthesizer import make_sharded_synthesis
+    from tacotron_tpu.dsp import chip as dsp_chip
+
+    cfg = Config()
+    synth = Synthesizer().init_random(cfg, seed=2)
+    plan = make_mesh()
+    assert plan.data_size == 8
+
+    rng = np.random.default_rng(0)
+    N, T_in, steps = 8, 16, 4
+    inputs = np.asarray(rng.integers(2, 80, (N, T_in)), np.int32)
+    lengths = np.full((N,), T_in, np.int32)
+
+    fn = make_sharded_synthesis(cfg, plan, max_steps=steps)
+    sharding = plan.batch()
+    wavs, aligns = fn(synth.variables,
+                      jax.device_put(jnp.asarray(inputs), sharding),
+                      jax.device_put(jnp.asarray(lengths), sharding), None)
+    assert wavs.shape[0] == N and aligns.shape == (N, T_in, steps)
+    assert np.isfinite(np.asarray(wavs)).all()
+
+    # single-device result matches to float tolerance
+    out = synth.model.apply(synth.variables, inputs, lengths, train=False,
+                            max_steps=steps)
+    ref_wavs = dsp_chip.batched_linear_to_waveform(
+        jnp.asarray(out["linear_outputs"]), cfg.audio)
+    np.testing.assert_allclose(np.asarray(wavs), np.asarray(ref_wavs),
+                               rtol=1e-4, atol=1e-5)
