@@ -64,6 +64,38 @@ def attention_trim_index(alignment: np.ndarray, seq_len: int,
     return reduction_factor * jdx + 3
 
 
+def attention_trim_frames(alignments: jnp.ndarray,
+                          input_lengths: jnp.ndarray,
+                          reduction_factor: int) -> jnp.ndarray:
+    """Vectorized on-device :func:`attention_trim_index`:
+    [N, T_in, T_dec] alignments -> per-utterance cut frame [N].
+
+    Same decision procedure as the host loop (reference
+    ``synthesizer.py:242-263``), expressed as cumsum/argmax so the whole
+    batch trims inside the fused synthesis program — no host round trip of
+    the spectrograms.
+    """
+    T_in = alignments.shape[1]
+    T_dec = alignments.shape[2]
+    # restrict the argmax to the true text length (host code slices
+    # alignments[:seq_len] first)
+    row_ok = jnp.arange(T_in)[None, :, None] < input_lengths[:, None, None]
+    masked = jnp.where(row_ok, alignments, -jnp.inf)
+    a = jnp.argmax(masked, axis=1)                          # [N, T_dec]
+    end_idx = jnp.minimum(input_lengths - 1, jnp.max(a, axis=1))
+    is_end = a == end_idx[:, None]
+    max_counter = jnp.minimum(jnp.sum(is_end, axis=1), 5)
+    cnt = jnp.cumsum(is_end, axis=1)
+    nxt = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+    cond_advance = is_end & (nxt > end_idx[:, None])
+    cond_counter = cnt >= max_counter[:, None]
+    # the host loop only evaluates conditions while j+1 < T_dec
+    valid = (cond_advance | cond_counter).at[:, -1].set(False)
+    jdx = jnp.where(jnp.any(valid, axis=1),
+                    jnp.argmax(valid, axis=1), T_dec - 1)
+    return reduction_factor * jdx + 3
+
+
 def trim_silence_db(audio: np.ndarray, top_db: float = 50.0,
                     frame_length: int = 5120,
                     hop_length: int = 256) -> np.ndarray:
@@ -195,6 +227,47 @@ class Synthesizer:
     # maximizes throughput; larger batches spill VMEM (B=64 was 7x slower)
     VOCODER_MAX_BATCH = 16
 
+    def _fused(self, bucket_len: int, max_steps: int, manual: bool,
+               trim: bool):
+        """ONE jitted program: decode -> on-device attention trim -> masked
+        batched Griffin-Lim -> int16 waveform.
+
+        Fusing matters doubly on tunneled TPU backends: the [N, T, 1025]
+        spectrogram never crosses the host link (round-tripping it measured
+        ~330 ms for 13 MB), and the only fetches are the int16 audio and the
+        small alignments."""
+        key = ("fused", bucket_len, max_steps, int(manual), int(trim))
+        if key not in self._compiled:
+            model = self.model
+            audio_cfg = self.config.audio
+            r = self.config.model.reduction_factor
+
+            def fn(variables, inputs, input_lengths, speaker_id,
+                   manual_alignments, is_manual):
+                out = model.apply(
+                    variables, inputs, input_lengths, speaker_id=speaker_id,
+                    train=False, max_steps=max_steps,
+                    manual_alignments=manual_alignments, is_manual=is_manual)
+                linear = out["linear_outputs"]       # [N, steps*r, F]
+                aligns = out["alignments"]           # [N, T_in, steps]
+                n_frames = linear.shape[1]
+                if trim:
+                    ends = jnp.maximum(
+                        attention_trim_frames(aligns, input_lengths, r), r)
+                    ends = jnp.minimum(ends, n_frames)
+                else:
+                    ends = jnp.full((linear.shape[0],), n_frames, jnp.int32)
+                mask = (jnp.arange(n_frames)[None, :]
+                        < ends[:, None])[..., None]
+                wavs = dsp_chip.batched_linear_to_waveform(
+                    linear * mask, audio_cfg)
+                wav_i16 = jnp.clip(wavs * 32767.0, -32768, 32767).astype(
+                    jnp.int16)
+                return wav_i16, aligns, ends
+
+            self._compiled[key] = jax.jit(fn)
+        return self._compiled[key]
+
     def _vocoder(self, batch: int, n_frames: int):
         """Jitted *batched* on-chip inversion, cached per
         (batch-bucket, frame-bucket) shape.  Eager dispatch of the
@@ -273,16 +346,18 @@ class Synthesizer:
             is_manual = jnp.asarray(False) if manual_alignments is None \
                 else jnp.asarray(True)
 
-        fwd = self._forward(bucket, steps, man is not None)
-        out = fwd(self.variables, jnp.asarray(inputs),
-                  jnp.asarray(input_lengths),
-                  None if spk is None else jnp.asarray(spk),
-                  None if man is None else jnp.asarray(man), is_manual)
-
-        alignments = np.asarray(out["alignments"])   # [N, T_in(bucket), T_dec]
-        linear = np.asarray(out["linear_outputs"])   # [N, T_dec*r, F]
+        if vocode not in ("chip", "host", "none"):
+            raise ValueError(f"unknown vocode mode {vocode!r}")
 
         if manual_attention_mode > 0:
+            # first pass just for the computed alignments (small fetch),
+            # then re-synthesize with the post-hoc manual alignments
+            fwd = self._forward(bucket, steps, man is not None)
+            out = fwd(self.variables, jnp.asarray(inputs),
+                      jnp.asarray(input_lengths),
+                      None if spk is None else jnp.asarray(spk),
+                      None if man is None else jnp.asarray(man), is_manual)
+            alignments = np.asarray(out["alignments"])
             new_man = posthoc_attention(alignments, manual_attention_mode)
             return self.synthesize(
                 sequences=sequences, speaker_ids=speaker_ids,
@@ -293,52 +368,73 @@ class Synthesizer:
                 token_bucket=token_bucket)
 
         r = cfg.model.reduction_factor
+        hop = cfg.audio.hop_length
         wavs: List[np.ndarray] = []
-        specs: List[np.ndarray] = []
         aligns: List[np.ndarray] = []
-        for i in range(N):
-            spec = linear[i]
-            align = alignments[i, :seq_lens[i], :]
-            if attention_trim:
-                end = attention_trim_index(align, seq_lens[i], r)
-                spec = spec[:max(end, r)]
-            specs.append(spec)
-            aligns.append(align)
+        specs: Optional[List[np.ndarray]] = None
 
         if vocode == "chip":
-            # pad all trimmed specs to one frame bucket and invert the whole
-            # batch in chunks of VOCODER_MAX_BATCH as single batched
-            # Griffin-Lim programs; batch rounds up to a power of two for a
-            # stable jit cache ({1,2,4,8,16} x frame buckets)
-            frames = _round_up(max(s.shape[0] for s in specs), 64)
-            stacked = np.zeros((N, frames, specs[0].shape[1]), np.float32)
-            for i, spec in enumerate(specs):
-                stacked[i, :spec.shape[0]] = spec
+            # fused decode+trim+GL program; batch processed in chunks of
+            # VOCODER_MAX_BATCH rows padded to powers of two for a stable
+            # jit cache ({1,2,4,8,16} x token buckets)
+            fn = self._fused(bucket, steps, man is not None, attention_trim)
             for lo in range(0, N, self.VOCODER_MAX_BATCH):
-                chunk = stacked[lo:lo + self.VOCODER_MAX_BATCH]
-                nb = 1 << (chunk.shape[0] - 1).bit_length()
-                if nb > chunk.shape[0]:
-                    chunk = np.concatenate(
-                        [chunk, np.zeros((nb - chunk.shape[0],) +
-                                         chunk.shape[1:], np.float32)])
-                wav_batch = np.asarray(
-                    self._vocoder(nb, frames)(jnp.asarray(chunk)))
-                for i in range(min(self.VOCODER_MAX_BATCH, N - lo)):
-                    spec = specs[lo + i]
-                    n_samples = min(wav_batch.shape[1],
-                                    spec.shape[0] * cfg.audio.hop_length)
-                    wavs.append(wav_batch[i, :n_samples])
-        elif vocode == "host":
-            for spec in specs:
-                wavs.append(dsp_host.inv_spectrogram(spec.T, cfg.audio))
-        elif vocode == "none":
-            wavs = [np.zeros((0,), np.float32) for _ in specs]
+                hi = min(N, lo + self.VOCODER_MAX_BATCH)
+                nb = 1 << (hi - lo - 1).bit_length()
+                c_in = np.zeros((nb, bucket), np.int32)
+                c_in[:hi - lo] = inputs[lo:hi]
+                c_len = np.ones((nb,), np.int32)
+                c_len[:hi - lo] = input_lengths[lo:hi]
+                c_spk = None
+                if spk is not None:
+                    c_spk = np.zeros((nb,), np.int32)
+                    c_spk[:hi - lo] = spk[lo:hi]
+                c_man = None
+                if man is not None:
+                    c_man = np.zeros((nb,) + man.shape[1:], np.float32)
+                    c_man[:hi - lo] = man[lo:hi]
+                wav_i16, al, ends = fn(
+                    self.variables, jnp.asarray(c_in), jnp.asarray(c_len),
+                    None if c_spk is None else jnp.asarray(c_spk),
+                    None if c_man is None else jnp.asarray(c_man), is_manual)
+                wav_i16 = np.asarray(wav_i16)
+                al = np.asarray(al)
+                ends = np.asarray(ends)
+                for i in range(hi - lo):
+                    n_samples = min(wav_i16.shape[1], int(ends[i]) * hop)
+                    wavs.append(wav_i16[i, :n_samples].astype(np.float32)
+                                / 32767.0)
+                    aligns.append(al[i, :seq_lens[lo + i], :])
         else:
-            raise ValueError(f"unknown vocode mode {vocode!r}")
+            fwd = self._forward(bucket, steps, man is not None)
+            out = fwd(self.variables, jnp.asarray(inputs),
+                      jnp.asarray(input_lengths),
+                      None if spk is None else jnp.asarray(spk),
+                      None if man is None else jnp.asarray(man), is_manual)
+            alignments = np.asarray(out["alignments"])  # [N, bucket, T_dec]
+            linear = np.asarray(out["linear_outputs"])  # [N, T_dec*r, F]
+            specs = []
+            for i in range(N):
+                spec = linear[i]
+                align = alignments[i, :seq_lens[i], :]
+                if attention_trim:
+                    end = attention_trim_index(align, seq_lens[i], r)
+                    spec = spec[:max(end, r)]
+                specs.append(spec)
+                aligns.append(align)
+            if vocode == "host":
+                for spec in specs:
+                    wavs.append(dsp_host.inv_spectrogram(spec.T, cfg.audio))
+            else:  # "none"
+                wavs = [np.zeros((0,), np.float32) for _ in specs]
 
         if librosa_trim and vocode != "none":
             wavs = [trim_silence_db(w) for w in wavs]
 
+        # NOTE: the fused chip path never materializes the spectrograms on
+        # the host (that transfer is the serving bottleneck on tunneled
+        # backends), so "linear" is None there; use vocode="host"/"none" if
+        # you need the spectrograms.
         return {"wavs": wavs, "alignments": aligns, "linear": specs,
                 "sequences": list(sequences)}
 

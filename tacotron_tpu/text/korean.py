@@ -186,7 +186,9 @@ def _read_number(num_str: str, unit_str: str, is_count: bool) -> str:
     num_str = num_str.replace(",", "")
 
     if float(num_str) == 0:
-        return "영" + unit_str
+        # reference quirk kept for parity: zero drops the counter word
+        # ("0마리" -> "영", korean.py:246-247)
+        return "영"
 
     integer_part, _, fraction_part = num_str.partition(".")
     if is_count and fraction_part:

@@ -119,3 +119,39 @@ def test_sharded_synthesis_on_mesh():
         jnp.asarray(out["linear_outputs"]), cfg.audio)
     np.testing.assert_allclose(np.asarray(wavs), np.asarray(ref_wavs),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_attention_trim_frames_matches_host():
+    """The vectorized on-device trim equals the reference host loop on
+    random alignments."""
+    import jax.numpy as jnp
+    from tacotron_tpu.synth.synthesizer import attention_trim_frames
+    rng = np.random.default_rng(11)
+    N, T_in, T_dec, r = 12, 24, 20, 4
+    alignments = rng.random((N, T_in, T_dec)).astype(np.float32)
+    lengths = rng.integers(3, T_in + 1, (N,)).astype(np.int32)
+    got = np.asarray(attention_trim_frames(
+        jnp.asarray(alignments), jnp.asarray(lengths), r))
+    for i in range(N):
+        want = attention_trim_index(alignments[i, :lengths[i], :],
+                                    int(lengths[i]), r)
+        assert int(got[i]) == want, (i, int(got[i]), want)
+
+
+def test_synthesizer_fused_chip_path():
+    """vocode="chip" runs decode+trim+GL as one program and returns trimmed
+    wavs; batch padding rows are discarded."""
+    cfg = Config().replace(model=ModelConfig(max_iters=6))
+    synth = Synthesizer().init_random(cfg)
+    texts = ["안녕하세요", "반갑습니다 여러분", "좋은 아침입니다"]
+    out = synth.synthesize(texts=texts, max_steps=6, vocode="chip",
+                           attention_trim=True, librosa_trim=False)
+    assert len(out["wavs"]) == 3
+    hop = cfg.audio.hop_length
+    for wav, align, seq in zip(out["wavs"], out["alignments"],
+                               out["sequences"]):
+        assert wav.ndim == 1 and np.isfinite(wav).all()
+        assert wav.size % hop == 0 and wav.size >= 4 * hop  # >= r frames
+        assert np.abs(wav).max() <= 1.0  # int16 round trip
+        assert align.shape[0] == len(seq)
+    assert out["linear"] is None  # spectrograms stay on device (documented)

@@ -204,3 +204,46 @@ def test_eval_texts_round_trip():
     # a mismatch IS reported: unknown symbols are dropped by encoding
     errs = round_trip_errors(["hello 안녕"], ["korean_cleaners"])
     assert errs == [] or all(len(e) == 3 for e in errs)
+
+
+def test_reference_golden_normalize_cases():
+    """The reference's own __main__ self-test strings (korean.py:308-319),
+    verbatim, normalized identically (derived by executing the reference's
+    rules by hand — incl. its quirks: last-win dictionary duplicates,
+    inner 일십 kept in years, zero dropping its counter)."""
+    from tacotron_tpu.text.korean import normalize
+    cases = {
+        "JTBC는 JTBCs를 DY는 A가 Absolute":
+            "제이티비씨는 JTBCs를 디와이는 에이가 Absolute",
+        "오늘(13일) 101마리 강아지가":
+            "오늘 백한마리 강아지가",
+        '"저돌"(猪突) 입니다.':
+            "'저돌' 입니다.",
+        ('비대위원장이 지난 1월 이런 말을 했습니다. '
+         '“난 그냥 산돼지처럼 돌파하는 스타일이다”'):
+            ("비대위원장이 지난 일월 이런 말을 했습니다. "
+             "'난 그냥 산돼지처럼 돌파하는 스타일이다'"),
+        "지금은 -12.35%였고 종류는 5가지와 19가지, 그리고 55가지였다":
+            ("지금은 마이너스 십이쩜 삼오퍼센트였고 종류는 다섯가지와 "
+             "열아홉가지, 그리고 쉰다섯가지였다"),
+        "JTBC는 TH와 K 양이 2017년 9월 12일 오후 12시에 24살이 된다":
+            ("제이티비씨는 티에이치와 케이 양이 이천일십칠년 구월 십이일 "
+             "오후 열두시에 스물네살이 된다"),
+    }
+    for src, want in cases.items():
+        assert normalize(src) == want, src
+
+
+def test_reference_dictionary_quirks():
+    """The effective reference tables keep Python's last-win duplicate
+    resolution and the implicit-concatenation key (ko_dictionary.py)."""
+    from tacotron_tpu.text.ko_dictionary import (english_dictionary,
+                                                 etc_dictionary)
+    assert english_dictionary["B"] == "씨"      # later duplicate wins
+    assert english_dictionary["C"] == "씨"
+    assert "PPropertyPositionPowerPrisonPS" in english_dictionary
+    assert etc_dictionary["1+1"] == "원플러스원"
+    assert len(english_dictionary) == 130 and len(etc_dictionary) == 5
+
+    from tacotron_tpu.text.korean import normalize
+    assert normalize("0마리") == "영"           # zero drops its counter
