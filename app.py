@@ -66,6 +66,9 @@ class SynthWorker:
             self.jobs.get()()
 
 
+# Fallback page when web/ assets are absent; the full frontend (canvas
+# waveform renderer, speaker picker — the reference's web/ role) lives in
+# web/index.html + web/static/ and is served when present.
 INDEX_HTML = """<!doctype html>
 <html><head><meta charset="utf-8"><title>tacotron_tpu demo</title></head>
 <body style="font-family:sans-serif;max-width:40em;margin:2em auto">
@@ -87,6 +90,12 @@ function go() {
 </script></body></html>
 """
 
+WEB_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "web")
+
+_STATIC_TYPES = {".html": "text/html", ".css": "text/css",
+                 ".js": "application/javascript", ".svg": "image/svg+xml",
+                 ".png": "image/png", ".ico": "image/x-icon"}
+
 
 def make_handler(worker: SynthWorker, cache_dir: str, model_name: str):
     synth = worker.synth
@@ -102,10 +111,38 @@ def make_handler(worker: SynthWorker, cache_dir: str, model_name: str):
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_static(self, rel_path: str) -> None:
+            """Serve a file under web/ (path-traversal safe)."""
+            full = os.path.realpath(os.path.join(WEB_ROOT, rel_path))
+            if not full.startswith(os.path.realpath(WEB_ROOT) + os.sep) \
+                    and full != os.path.realpath(WEB_ROOT):
+                self._send(403, b"forbidden", "text/plain")
+                return
+            if not os.path.isfile(full):
+                self._send(404, b"not found", "text/plain")
+                return
+            ctype = _STATIC_TYPES.get(os.path.splitext(full)[1],
+                                      "application/octet-stream")
+            with open(full, "rb") as fh:
+                self._send(200, fh.read(), ctype)
+
         def do_GET(self):
             parsed = urllib.parse.urlparse(self.path)
             if parsed.path == "/":
-                self._send(200, INDEX_HTML.encode(), "text/html")
+                if os.path.isfile(os.path.join(WEB_ROOT, "index.html")):
+                    self._send_static("index.html")
+                else:
+                    self._send(200, INDEX_HTML.encode(), "text/html")
+                return
+            if parsed.path.startswith("/static/"):
+                self._send_static(parsed.path.lstrip("/"))
+                return
+            if parsed.path == "/api/info":
+                self._send(200, json.dumps({
+                    "model": model_name,
+                    "num_speakers": synth.config.model.num_speakers,
+                    "sample_rate": synth.config.audio.sample_rate,
+                }).encode(), "application/json")
                 return
             if parsed.path == "/healthz":
                 self._send(200, b'{"ok": true}', "application/json")
