@@ -169,15 +169,63 @@ def _griffin_lim_matmul(magnitude: jnp.ndarray, num_samples: int,
     return jax.lax.fori_loop(0, config.griffin_lim_iters, body, y)
 
 
+def _griffin_lim_pallas_batched(magnitude: jnp.ndarray, num_samples: int,
+                                config: AudioConfig) -> jnp.ndarray:
+    """Batched Griffin-Lim with the fused Pallas spectral step.
+
+    magnitude: [B, n_frames, n_freq] -> waveforms [B, num_samples].
+
+    The whole batch's frames fold into one [B*n_frames, n_fft] row matrix
+    per iteration, so the kernel's MXU tiles stay full regardless of batch
+    size; framing/overlap-add remain XLA (bandwidth-bound reshuffles XLA
+    fuses well).  See ``ops/pallas/griffin_lim.py`` for the kernel.
+    """
+    from ..ops.pallas.griffin_lim import spectral_step
+
+    B, n_frames, _ = magnitude.shape
+    n_fft = config.n_fft
+    dtype = jnp.bfloat16
+    _, _, idft_re, _ = _dft_matrices(n_fft)
+    idft_re = jnp.asarray(idft_re, dtype)
+
+    mag_rows = magnitude.reshape(B * n_frames, -1)
+    ola = jax.vmap(lambda fr: overlap_add(fr, num_samples, config))
+    framer = jax.vmap(lambda y: frame_signal(y, config))
+
+    # zero-phase start: irfft(mag) == mag @ IDFT_RE (im = 0)
+    frames0 = (mag_rows.astype(dtype) @ idft_re).astype(jnp.float32)
+    y = ola(frames0.reshape(B, n_frames, n_fft))
+
+    def body(_, y):
+        frames = framer(y).reshape(B * n_frames, n_fft)
+        new = spectral_step(frames, mag_rows, n_fft)
+        return ola(new.reshape(B, n_frames, n_fft))
+
+    return jax.lax.fori_loop(0, config.griffin_lim_iters, body, y)
+
+
+def griffin_lim_batched(magnitude: jnp.ndarray, num_samples: int,
+                        config: AudioConfig) -> jnp.ndarray:
+    """Batched phase reconstruction [B, n_frames, n_freq] -> [B, samples],
+    dispatching on ``config.griffin_lim_impl``."""
+    if config.griffin_lim_impl == "pallas":
+        return _griffin_lim_pallas_batched(magnitude, num_samples, config)
+    return jax.vmap(lambda m: griffin_lim(m, num_samples, config))(magnitude)
+
+
 def griffin_lim(magnitude: jnp.ndarray, num_samples: int,
                 config: AudioConfig) -> jnp.ndarray:
     """Phase reconstruction: magnitude [n_frames, n_freq] -> waveform.
 
     Deterministic zero-phase start + ``config.griffin_lim_iters`` refinement
     steps, the whole loop compiled on chip.  Engine selected by
-    ``config.griffin_lim_impl`` ("matmul_bf16" default, "fft" for strict
-    float32 parity).
+    ``config.griffin_lim_impl``: "matmul_bf16" (default, DFT as bf16 MXU
+    matmuls), "pallas" (fused spectral-step kernel — batched path), or
+    "fft" (strict float32 XLA FFTs, parity reference).
     """
+    if config.griffin_lim_impl == "pallas":
+        return _griffin_lim_pallas_batched(magnitude[None], num_samples,
+                                           config)[0]
     if config.griffin_lim_impl == "matmul_bf16":
         return _griffin_lim_matmul(magnitude, num_samples, config)
     if config.griffin_lim_impl != "fft":
@@ -293,9 +341,14 @@ def mel_to_waveform(mel: jnp.ndarray, config: AudioConfig) -> jnp.ndarray:
 
 def batched_linear_to_waveform(specs: jnp.ndarray,
                                config: AudioConfig) -> jnp.ndarray:
-    """vmap of :func:`linear_to_waveform` over a batch [B, n_frames, n_freq].
+    """Batched :func:`linear_to_waveform` over [B, n_frames, n_freq].
 
-    Batching is the throughput lever on TPU: B waveforms' FFTs fuse into one
-    batched FFT per Griffin-Lim iteration.
+    Batching is the throughput lever on TPU: the whole batch's spectral
+    updates run as one batched program per Griffin-Lim iteration (one fused
+    Pallas row matrix for impl="pallas", one batched FFT/matmul otherwise).
     """
-    return jax.vmap(lambda s: linear_to_waveform(s, config))(specs)
+    n_frames = specs.shape[1]
+    num_samples = (n_frames - 1) * config.hop_length
+    S = db_to_amp(denormalize_db(specs, config) + config.ref_level_db)
+    wavs = griffin_lim_batched(S ** config.power, num_samples, config)
+    return jax.vmap(lambda y: inv_preemphasis(y, config))(wavs)

@@ -66,3 +66,20 @@ def test_bigru_adapter_matches_flax_module():
     got = bigru_from_params(variables["params"], x, lengths, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_griffin_lim_spectral_step_matches_reference():
+    """Fused spectral-step kernel (interpret mode) equals the plain-XLA bf16
+    formulation used by the matmul GL engine."""
+    from tacotron_tpu.ops.pallas.griffin_lim import (spectral_step,
+                                                     spectral_step_reference)
+    rng = np.random.default_rng(0)
+    n_fft, rows = 512, 70  # rows not a tile multiple: exercises padding
+    frames = jnp.asarray(rng.standard_normal((rows, n_fft)), jnp.float32)
+    mag = jnp.asarray(np.abs(rng.standard_normal((rows, n_fft // 2 + 1))),
+                      jnp.float32)
+    got = np.asarray(spectral_step(frames, mag, n_fft, row_tile=32,
+                                   interpret=True))
+    want = np.asarray(spectral_step_reference(frames, mag, n_fft))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-3)
