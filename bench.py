@@ -167,6 +167,15 @@ def main() -> None:
     train_time, train_p10, train_p90 = _timed(train_once)
     train_frames_per_s = BATCH * T_OUT / train_time
 
+    # ---- roofline accounting for the Griffin-Lim spectral step (the
+    # dominant synthesis cost): 4 dense DFT matmuls per iteration
+    n_fft, F = cfg.audio.n_fft, cfg.audio.num_freq
+    gl_rows = BATCH * MAX_STEPS * r
+    gl_flops = cfg.audio.griffin_lim_iters * 4 * 2 * gl_rows * n_fft * F
+    v5e_bf16_peak_tflops = 394.0
+    achieved_tflops = gl_flops / tpu_time / 1e12  # upper bound: whole
+    # program time incl decode/framing/OLA attributed to GL matmuls
+
     result = {
         "metric": "synthesis_throughput",
         "value": round(tpu_throughput, 2),
@@ -190,6 +199,17 @@ def main() -> None:
             "training_step_seconds": round(train_time, 4),
             "training_step_seconds_p10_p90": [round(train_p10, 4),
                                               round(train_p90, 4)],
+            "roofline": {
+                "gl_matmul_tflop_per_batch": round(gl_flops / 1e12, 2),
+                "achieved_tflop_s_lower_bound": round(achieved_tflops, 1),
+                "bf16_peak_tflop_s": v5e_bf16_peak_tflops,
+                "mxu_utilization_pct": round(
+                    100 * achieved_tflops / v5e_bf16_peak_tflops, 1),
+                "note": "GL-matmul FLOPs / full-program wall time; the "
+                        "non-MXU remainder is framing/OLA bandwidth and "
+                        "the fixed ~28 ms dispatch overhead of the "
+                        "tunneled backend",
+            },
             "device": str(jax.devices()[0]),
         },
     }
