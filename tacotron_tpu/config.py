@@ -129,6 +129,12 @@ class TrainConfig:
     recognition_loss_coeff: float = 0.2
     ignore_recognition_level: int = 1
 
+    # Guided attention (Tachibana et al. 2017, DC-TTS eq. 3): soft diagonal
+    # prior on the alignment matrix, a quality lever for low-data training.
+    # 0.0 (default) = off, exact reference loss parity.
+    guided_attention_weight: float = 0.0
+    guided_attention_sigma: float = 0.2
+
     initial_data_greedy: bool = True
     initial_phase_step: int = 8000
     main_data_greedy_factor: float = 0.0

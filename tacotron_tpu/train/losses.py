@@ -94,3 +94,43 @@ def tacotron_loss(mel_outputs: jnp.ndarray, linear_outputs: jnp.ndarray,
         "linear_loss": linear_loss,
         "loss_without_coeff": mel_loss + linear_loss,
     }
+
+
+def guided_attention_loss(alignments: jnp.ndarray,
+                          input_lengths: jnp.ndarray,
+                          target_lengths: Optional[jnp.ndarray],
+                          reduction_factor: int,
+                          sigma: float = 0.2) -> jnp.ndarray:
+    """Soft-diagonal attention prior (Tachibana et al. 2017, DC-TTS eq. 3).
+
+    Not present in the reference (its monotonic attention plays a similar
+    role architecturally); offered as an opt-in quality lever for low-data
+    training — see ``TrainConfig.guided_attention_weight``.
+
+    ``alignments``: [N, T_in, T_dec] attention weights from the decoder scan.
+    Each utterance gets its own diagonal target using its true text length
+    and true decoder-step count; padding rows/steps are masked out of the
+    mean, so bucket padding does not dilute the penalty.
+
+    Returns the scalar mean of ``A[n, t] * (1 - exp(-(n/N - t/T)^2 /
+    (2 sigma^2)))`` over the valid region.
+    """
+    N, T_in, T_dec = alignments.shape
+    r = max(1, int(reduction_factor))
+    if target_lengths is None:
+        dec_steps = jnp.full((N,), T_dec, jnp.float32)
+    else:
+        dec_steps = jnp.ceil(target_lengths.astype(jnp.float32) / r)
+        dec_steps = jnp.clip(dec_steps, 1.0, float(T_dec))
+    in_len = input_lengths.astype(jnp.float32)
+
+    n = jnp.arange(T_in, dtype=jnp.float32)[None, :, None]    # [1, T_in, 1]
+    t = jnp.arange(T_dec, dtype=jnp.float32)[None, None, :]   # [1, 1, T_dec]
+    n_rel = n / jnp.maximum(in_len - 1.0, 1.0)[:, None, None]
+    t_rel = t / jnp.maximum(dec_steps - 1.0, 1.0)[:, None, None]
+    weight = 1.0 - jnp.exp(-((n_rel - t_rel) ** 2) / (2.0 * sigma * sigma))
+
+    mask = ((n < in_len[:, None, None])
+            & (t < dec_steps[:, None, None])).astype(alignments.dtype)
+    penalty = alignments * weight.astype(alignments.dtype) * mask
+    return jnp.sum(penalty) / jnp.maximum(jnp.sum(mask), 1.0)

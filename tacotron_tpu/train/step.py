@@ -27,7 +27,7 @@ import optax
 from ..config import Config
 from ..models.tacotron import Tacotron
 from ..parallel import MeshPlan
-from .losses import tacotron_loss
+from .losses import guided_attention_loss, tacotron_loss
 from .optim import learning_rate_schedule, make_optimizer
 from .state import TrainState, create_model
 
@@ -67,6 +67,16 @@ def _forward_loss(model: Tacotron, config: Config, params, batch_stats,
                            batch.loss_coeff, config.train, config.audio,
                            target_lengths=batch.target_lengths,
                            reduction_factor=config.model.reduction_factor)
+    # Opt-in guided-attention prior (static config branch: zero cost when off)
+    if config.train.guided_attention_weight > 0.0:
+        attn = guided_attention_loss(
+            out["alignments"], batch.input_lengths, batch.target_lengths,
+            config.model.reduction_factor,
+            sigma=config.train.guided_attention_sigma)
+        losses = dict(losses)
+        losses["attention_loss"] = attn
+        losses["loss"] = (losses["loss"]
+                          + config.train.guided_attention_weight * attn)
     return losses, out, new_stats
 
 
@@ -113,6 +123,8 @@ def make_train_step(config: Config, plan: Optional[MeshPlan] = None,
             "diverged": jnp.logical_or(losses["loss"] > 100.0,
                                        jnp.isnan(losses["loss"])),
         }
+        if config.train.guided_attention_weight > 0.0:
+            metrics["attention_loss"] = losses["attention_loss"]
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,

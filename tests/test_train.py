@@ -96,6 +96,47 @@ def test_prioritized_loss_band():
     np.testing.assert_allclose(float(out["loss"]), want, rtol=1e-5)
 
 
+def test_guided_attention_loss_prefers_diagonal():
+    """Diagonal alignments score near zero; anti-diagonal near the weight
+    ceiling; padding rows/steps don't change the mean."""
+    from tacotron_tpu.train.losses import guided_attention_loss
+    N, T_in, T_dec, r = 2, 10, 10, 4
+    eye = jnp.tile(jnp.eye(T_in)[None], (N, 1, 1))
+    anti = eye[:, ::-1, :]
+    lens = jnp.full((N,), T_in, jnp.int32)
+    tlens = jnp.full((N,), T_dec * r, jnp.int32)
+    diag = float(guided_attention_loss(eye, lens, tlens, r))
+    off = float(guided_attention_loss(anti, lens, tlens, r))
+    assert diag < 0.01
+    assert off > 0.05
+    assert off > 10 * diag
+
+    # invariance to bucket padding: pad T_in/T_dec, same true lengths
+    pad = jnp.zeros((N, T_in + 6, T_dec + 4))
+    pad = pad.at[:, :T_in, :T_dec].set(eye)
+    padded = float(guided_attention_loss(pad, lens, tlens, r))
+    np.testing.assert_allclose(padded, diag, rtol=1e-5)
+
+
+def test_guided_attention_in_train_step():
+    """With guided_attention_weight > 0 the step reports attention_loss and
+    the optimized loss includes the weighted term."""
+    cfg = Config().replace(train=TrainConfig(decay_learning_rate_mode=1,
+                                             guided_attention_weight=5.0))
+    opt = make_optimizer(cfg.train)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), opt)
+    step = make_train_step(cfg)
+    batch = _toy_batch(N=4)
+    batch = batch._replace(
+        target_lengths=jnp.full((4,), batch.mel_targets.shape[1], jnp.int32))
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert "attention_loss" in m
+    attn = float(m["attention_loss"])
+    assert np.isfinite(attn) and attn > 0.0
+    want = (float(m["mel_loss"]) + float(m["linear_loss"]) + 5.0 * attn)
+    np.testing.assert_allclose(float(m["loss"]), want, rtol=1e-5)
+
+
 def test_noam_schedule_shape():
     """Noam warmup: peaks at warmup_steps then decays as 1/sqrt(t);
     matches lr*ws^.5*min((t+1)ws^-1.5, (t+1)^-.5)."""

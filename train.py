@@ -44,6 +44,9 @@ def main(argv=None) -> None:
     parser.add_argument("--webhook_url", default=None,
                         help="POST notifications here on divergence etc. "
                              "(reference Slack hook, utils/infolog.py)")
+    parser.add_argument("--guided_attention_weight", type=float, default=None,
+                        help="weight of the soft-diagonal attention prior "
+                             "(DC-TTS eq. 3); 0 = off (reference parity)")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of steps 10-15")
     parser.add_argument("--distributed", action="store_true",
@@ -73,6 +76,10 @@ def main(argv=None) -> None:
         config = config.replace(
             train=dataclasses.replace(config.train,
                                       batch_size=args.batch_size))
+    if args.guided_attention_weight is not None:
+        config = config.replace(train=dataclasses.replace(
+            config.train,
+            guided_attention_weight=args.guided_attention_weight))
 
     if args.load_path:
         run_dir = args.load_path
