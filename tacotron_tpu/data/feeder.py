@@ -66,12 +66,18 @@ def scan_data_dirs(data_dirs: Sequence[str], config: Config,
                    blacklists: Sequence[str] = (),
                    process_index: int = 0,
                    process_count: int = 1,
-                   corpus_max: Optional[dict] = None) -> Dict[str, List[str]]:
+                   corpus_max: Optional[dict] = None,
+                   length_records: Optional[list] = None
+                   ) -> Dict[str, List[str]]:
     """Discover + filter per-dir npz paths and split train/test
     (reference ``get_path_dict``, ``datafeeder.py:27-76``).
 
     When ``corpus_max`` (a dict) is passed, records the corpus-wide maxima
-    under keys ``tokens``/``frames`` for fixed-shape padding."""
+    under keys ``tokens``/``frames`` for fixed-shape padding.  When
+    ``length_records`` (a list) is passed, appends ``(n_tokens, n_frames)``
+    per kept file — the raw material for the bucket-shape ladder used by
+    compile prewarming (the scan reads the headers anyway, so this is
+    free)."""
     dc, mc = config.data, config.model
     min_frames = mc.reduction_factor * dc.min_iters
     max_frames = mc.reduction_factor * dc.max_iters - mc.reduction_factor
@@ -93,6 +99,8 @@ def scan_data_dirs(data_dirs: Sequence[str], config: Config,
                 if (min_frames <= n_frame <= max_frames
                         and n_tokens >= dc.min_tokens):
                     kept.append(path)
+                    if length_records is not None:
+                        length_records.append((n_tokens, n_frame))
                     if corpus_max is not None:
                         corpus_max["tokens"] = max(
                             corpus_max.get("tokens", 0), n_tokens)
@@ -136,11 +144,12 @@ class DataFeeder:
         self._step = start_step
 
         self.corpus_max: dict = {}
+        self.length_records: list = []
         self.path_dict = scan_data_dirs(
             data_dirs, config, data_type,
             n_test if n_test is not None else self.batch_size,
             self.rng, skip_filter, blacklists, process_index, process_count,
-            corpus_max=self.corpus_max)
+            corpus_max=self.corpus_max, length_records=self.length_records)
         self.data_dirs = list(self.path_dict.keys())
         self.dir_to_id = {d: i for i, d in enumerate(self.data_dirs)}
         self._offsets = {d: 0 for d in self.data_dirs}
@@ -282,6 +291,39 @@ class DataFeeder:
                      loss_coeff=loss_coeff, mel_targets=mel,
                      linear_targets=linear, speaker_id=speaker,
                      target_lengths=target_lengths)
+
+    # ---------------------------------------------------------- bucket ladder
+
+    def bucket_shapes(self) -> List[tuple]:
+        """The set of ``(tok_len, frame_len)`` padded batch shapes this
+        corpus can produce, for compile-cache prewarming.
+
+        A batch's token axis pads to ``round_up(max tokens)`` and its frame
+        axis to ``round_up(round_up(max frames + 1, r), frame_bucket)`` —
+        both maxima over the batch, so every batch shape is a pair of
+        *per-example* bucket values.  Returns the cross product of the
+        observed per-example token and frame buckets (a small superset of
+        the pairs that actually co-occur), sorted; with
+        ``pad_to_corpus_max`` this collapses to the single corpus-max shape.
+        Empty when the filter scan was skipped (no length records)."""
+        dc = self.config.data
+        r = self.config.model.reduction_factor
+        fb = max(dc.bucket_size_frames, r)
+
+        def tok_bucket(n_tokens: int) -> int:
+            return _round_up(max(n_tokens, 1), dc.bucket_size_tokens)
+
+        def frame_bucket(n_frames: int) -> int:
+            return _round_up(_round_up(n_frames + 1, r), fb)
+
+        if dc.pad_to_corpus_max and self.corpus_max:
+            return [(tok_bucket(self.corpus_max["tokens"]),
+                     frame_bucket(self.corpus_max["frames"]))]
+        if not self.length_records:
+            return []
+        toks = sorted({tok_bucket(t) for t, _ in self.length_records})
+        frames = sorted({frame_bucket(f) for _, f in self.length_records})
+        return sorted((t, f) for t in toks for f in frames)
 
     # ------------------------------------------------------------ iteration
 

@@ -43,7 +43,8 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
           profile_steps: Tuple[int, int] = (10, 15),
           webhook_url: Optional[str] = None,
           skip_path_filter: bool = False,
-          blacklists: Sequence[str] = ()) -> TrainState:
+          blacklists: Sequence[str] = (),
+          prewarm: bool = False) -> TrainState:
     """Run the training loop; returns the final state."""
     os.makedirs(run_dir, exist_ok=True)
     init_log(os.path.join(run_dir, "train.log"), os.path.basename(run_dir),
@@ -111,6 +112,28 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
     step_fn = make_train_step(config, plan, randomly_initialized)
     eval_fn = make_eval_step(config, plan)
     dropout_rng = jax.random.PRNGKey(seed + 1)
+
+    if prewarm:
+        # Compile the whole bucket ladder up front (ROADMAP item 3): one
+        # dummy step per (tok_len, frame_len) shape populates the jit
+        # callsite cache AND the persistent XLA cache, so the loop never
+        # stalls ~15 s on a first-seen bucket mid-training.  The dummy
+        # state absorbs the donation; the real state is untouched.
+        shapes = train_feeder.bucket_shapes()
+        if shapes:
+            log(f"prewarming {len(shapes)} bucket program(s): {shapes}")
+            t0 = time.time()
+            dummy = create_train_state(config, jax.random.PRNGKey(0),
+                                       optimizer)
+            for tok_len, frame_len in shapes:
+                dummy, _ = step_fn(
+                    dummy,
+                    Batch(*shard_batch(
+                        plan, _zero_batch(config, config.train.batch_size,
+                                          tok_len, frame_len))),
+                    dropout_rng)
+            del dummy
+            log(f"prewarm done in {time.time() - t0:.1f} s")
 
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
     tc = config.train
@@ -186,6 +209,21 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
         mgr.save(state)
         mgr.close()
     return state
+
+
+def _zero_batch(config: Config, n: int, tok_len: int,
+                frame_len: int) -> Batch:
+    """An all-zero batch of one bucket shape, for compile prewarming."""
+    return Batch(
+        inputs=np.zeros((n, tok_len), np.int32),
+        input_lengths=np.full((n,), tok_len, np.int32),
+        loss_coeff=np.ones((n,), np.float32),
+        mel_targets=np.zeros((n, frame_len, config.model.num_mels),
+                             np.float32),
+        linear_targets=np.zeros((n, frame_len, config.model.num_freq),
+                                np.float32),
+        speaker_id=np.zeros((n,), np.int32),
+        target_lengths=np.full((n,), frame_len, np.int32))
 
 
 def _dump_samples(state: TrainState, batch: Batch, config: Config,

@@ -208,6 +208,56 @@ def test_feeder_sampling_ratios(corpus):
     assert set(np.unique(batch.speaker_id)) == {0}
 
 
+def test_feeder_bucket_shapes(corpus):
+    """bucket_shapes() covers every batch shape the feeder emits, and
+    collapses to the single corpus-max shape under pad_to_corpus_max."""
+    import dataclasses
+    cfg = _tiny_config()
+    feeder = DataFeeder(corpus, cfg, data_type="train", batch_size=2,
+                        n_test=0)
+    shapes = feeder.bucket_shapes()
+    assert shapes and shapes == sorted(set(shapes))
+    it = feeder.batches()
+    for _ in range(8):
+        b = next(it)
+        assert (b.inputs.shape[1], b.mel_targets.shape[1]) in shapes
+
+    cfg_max = cfg.replace(data=dataclasses.replace(
+        cfg.data, pad_to_corpus_max=True))
+    feeder_max = DataFeeder(corpus, cfg_max, data_type="train", batch_size=2,
+                            n_test=0)
+    max_shapes = feeder_max.bucket_shapes()
+    assert len(max_shapes) == 1
+    b = next(feeder_max.batches())
+    assert (b.inputs.shape[1], b.mel_targets.shape[1]) == max_shapes[0]
+
+
+def test_train_driver_prewarm(corpus, tmp_path):
+    """prewarm=True compiles the bucket ladder before step 1 and the loop
+    still runs; with pad_to_corpus_max the ladder is one program, so the
+    prewarm step IS the training program (no extra compile cost here)."""
+    import dataclasses
+    import jax
+    from tacotron_tpu.parallel import make_mesh
+    from tacotron_tpu.train.driver import train
+
+    cfg = _tiny_config()
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, test_interval=100,
+                                  checkpoint_interval=100,
+                                  decay_learning_rate_mode=1),
+        data=dataclasses.replace(cfg.data, pad_to_corpus_max=True))
+    plan = make_mesh(devices=jax.devices()[:2])
+    run_dir = str(tmp_path / "run_prewarm")
+    state = train(run_dir, corpus, cfg, num_steps=2, log_every=1, plan=plan,
+                  prewarm=True)
+    assert int(state.step) == 2
+    with open(os.path.join(run_dir, "train.log")) as fh:
+        text = fh.read()
+    assert "prewarming 1 bucket program(s)" in text
+    assert "prewarm done" in text
+
+
 def test_train_driver_writes_metrics_and_provenance(corpus, tmp_path):
     """The driver persists per-interval scalars (metrics.jsonl — the
     reference's TB summary set, train.py:50-77) and git provenance

@@ -49,6 +49,9 @@ def main(argv=None) -> None:
                              "(DC-TTS eq. 3); 0 = off (reference parity)")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of steps 10-15")
+    parser.add_argument("--prewarm", action="store_true",
+                        help="compile the whole bucket ladder before step 1 "
+                             "(no mid-training compile stalls)")
     parser.add_argument("--distributed", action="store_true",
                         help="join a multi-host pod slice "
                              "(jax.distributed.initialize)")
@@ -95,7 +98,8 @@ def main(argv=None) -> None:
                        if args.profile else None),
           webhook_url=args.webhook_url,
           skip_path_filter=args.skip_path_filter,
-          blacklists=[b for b in args.blacklists.split(",") if b])
+          blacklists=[b for b in args.blacklists.split(",") if b],
+          prewarm=args.prewarm)
 
 
 if __name__ == "__main__":
