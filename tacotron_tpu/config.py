@@ -36,6 +36,11 @@ class AudioConfig:
     # matmuls (2x faster on TPU, waveform corr 0.994 vs fft); "fft" is the
     # bit-careful XLA FFT path used for strict parity checks.
     griffin_lim_impl: str = "matmul_bf16"
+    # Fast Griffin-Lim (Perraudin et al. 2013) momentum: y' = t + a*(t - t_prev)
+    # where t is the plain GL update.  0.0 (default) = classic Griffin-Lim,
+    # exact reference parity.  At 0.99, ~30 iterations match the spectral
+    # convergence of 60 plain iterations — a ~2x serving-cost lever.
+    griffin_lim_momentum: float = 0.0
 
     @property
     def n_fft(self) -> int:

@@ -139,6 +139,29 @@ def _dft_matrices(n_fft: int) -> Tuple[np.ndarray, ...]:
     return dft_re, dft_im, idft_re, idft_im
 
 
+def _gl_loop(gl_update, y0: jnp.ndarray, config: AudioConfig) -> jnp.ndarray:
+    """Run ``griffin_lim_iters`` projection steps, classic or accelerated.
+
+    With ``config.griffin_lim_momentum == 0`` this is the plain fixed-point
+    iteration ``y <- P(y)`` (reference semantics).  Otherwise it is the fast
+    Griffin-Lim of Perraudin et al. 2013: ``t_n = P(y_n); y_{n+1} = t_n +
+    a (t_n - t_{n-1})`` — an extrapolated fixed-point step that reaches the
+    same spectral convergence in roughly half the iterations at a == 0.99.
+    """
+    alpha = float(config.griffin_lim_momentum)
+    if alpha == 0.0:
+        return jax.lax.fori_loop(0, config.griffin_lim_iters,
+                                 lambda _, y: gl_update(y), y0)
+
+    def body(_, carry):
+        y, t_prev = carry
+        t = gl_update(y)
+        return t + alpha * (t - t_prev), t
+
+    y, _ = jax.lax.fori_loop(0, config.griffin_lim_iters, body, (y0, y0))
+    return y
+
+
 def _griffin_lim_matmul(magnitude: jnp.ndarray, num_samples: int,
                         config: AudioConfig,
                         dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -159,14 +182,14 @@ def _griffin_lim_matmul(magnitude: jnp.ndarray, num_samples: int,
 
     y = istft_mm(magnitude, jnp.zeros_like(magnitude))
 
-    def body(_, y):
+    def gl_update(y):
         frames = frame_signal(y, config).astype(dtype)
         re = (frames @ dft_re).astype(jnp.float32)
         im = (frames @ dft_im).astype(jnp.float32)
         amp = jnp.maximum(1e-8, jnp.sqrt(re * re + im * im))
         return istft_mm(magnitude * re / amp, magnitude * im / amp)
 
-    return jax.lax.fori_loop(0, config.griffin_lim_iters, body, y)
+    return _gl_loop(gl_update, y, config)
 
 
 def _griffin_lim_pallas_batched(magnitude: jnp.ndarray, num_samples: int,
@@ -196,12 +219,12 @@ def _griffin_lim_pallas_batched(magnitude: jnp.ndarray, num_samples: int,
     frames0 = (mag_rows.astype(dtype) @ idft_re).astype(jnp.float32)
     y = ola(frames0.reshape(B, n_frames, n_fft))
 
-    def body(_, y):
+    def gl_update(y):
         frames = framer(y).reshape(B * n_frames, n_fft)
         new = spectral_step(frames, mag_rows, n_fft)
         return ola(new.reshape(B, n_frames, n_fft))
 
-    return jax.lax.fori_loop(0, config.griffin_lim_iters, body, y)
+    return _gl_loop(gl_update, y, config)
 
 
 def griffin_lim_batched(magnitude: jnp.ndarray, num_samples: int,
@@ -234,12 +257,12 @@ def griffin_lim(magnitude: jnp.ndarray, num_samples: int,
     S = magnitude.astype(jnp.complex64)
     y = istft(S, num_samples, config)
 
-    def body(_, y):
+    def gl_update(y):
         est = stft(y, config)
         angles = est / jnp.maximum(1e-8, jnp.abs(est)).astype(jnp.complex64)
         return istft(S * angles, num_samples, config)
 
-    return jax.lax.fori_loop(0, config.griffin_lim_iters, body, y)
+    return _gl_loop(gl_update, y, config)
 
 
 # ------------------------------------------------------------- scaling chain

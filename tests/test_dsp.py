@@ -141,6 +141,46 @@ class TestGriffinLim:
         np.testing.assert_allclose(wavs[0], wavs[1], atol=1e-5)
 
 
+def _spectral_convergence(wav, mag_target, cfg):
+    """|| |STFT(y)| - M ||_F / ||M||_F — the standard GL quality measure."""
+    est = np.abs(np.asarray(chip.stft(np.asarray(wav), cfg)))
+    n = min(est.shape[0], mag_target.shape[0])
+    return (np.linalg.norm(est[:n] - mag_target[:n])
+            / np.linalg.norm(mag_target[:n]))
+
+
+def test_fast_griffin_lim_momentum_halves_iterations():
+    """FGLA (momentum 0.99) at half the iterations reaches at least the
+    spectral convergence of classic Griffin-Lim at full iterations, in every
+    engine (the ~2x serving-cost lever documented in AudioConfig)."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    y = _test_signal(FAST.sample_rate // 2, FAST.sample_rate)
+    mag = np.abs(np.asarray(chip.stft(y, FAST)))  # consistent target
+    num_samples = (mag.shape[0] - 1) * FAST.hop_length
+    magj = jnp.asarray(mag)
+
+    for impl in ("fft", "matmul_bf16"):
+        plain = dataclasses.replace(FAST, griffin_lim_impl=impl,
+                                    griffin_lim_iters=30)
+        fast = dataclasses.replace(plain, griffin_lim_iters=15,
+                                   griffin_lim_momentum=0.99)
+        c_plain = _spectral_convergence(
+            chip.griffin_lim(magj, num_samples, plain), mag, FAST)
+        c_fast = _spectral_convergence(
+            chip.griffin_lim(magj, num_samples, fast), mag, FAST)
+        assert c_fast <= c_plain * 1.02, (impl, c_fast, c_plain)
+
+    # momentum=0 stays bitwise the classic iteration
+    plain = dataclasses.replace(FAST, griffin_lim_impl="fft",
+                                griffin_lim_iters=6)
+    zero = dataclasses.replace(plain, griffin_lim_momentum=0.0)
+    np.testing.assert_array_equal(
+        np.asarray(chip.griffin_lim(magj, num_samples, plain)),
+        np.asarray(chip.griffin_lim(magj, num_samples, zero)))
+
+
 class TestAudioIO:
     def test_save_load_roundtrip(self, tmp_path):
         y = _test_signal(8000, FAST.sample_rate)
