@@ -139,7 +139,8 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
     tc = config.train
     profiling = False
     # persisted scalars (the reference's TB summary set, train.py:50-77)
-    metrics_log = MetricsLogger(os.path.join(run_dir, "metrics.jsonl"))
+    metrics_log = MetricsLogger(os.path.join(run_dir, "metrics.jsonl"),
+                                tb_logdir=run_dir)
     try:
         while int(state.step) < num_steps:
             # jax.profiler trace window (SURVEY.md §5.1: the reference only

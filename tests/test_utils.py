@@ -57,3 +57,45 @@ def test_duration_tool(tmp_path):
     totals = dataset_totals([str(tmp_path / "*.wav")])
     (n, seconds), = totals.values()
     assert n == 2 and seconds == pytest.approx(3.0)
+
+
+def test_crc32c_known_vectors():
+    """Castagnoli CRC known-answer tests (RFC 3720 / kernel test vectors)."""
+    from tacotron_tpu.utils.tb_events import _crc32c
+    assert _crc32c(b"123456789") == 0xE3069283
+    assert _crc32c(b"") == 0
+    assert _crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+def test_tb_event_writer_roundtrip(tmp_path):
+    """Events written by TBEventWriter parse back (TFRecord framing + Event
+    proto), preserving steps, tags, and float32 values."""
+    from tacotron_tpu.utils import TBEventWriter, read_tb_scalars
+    w = TBEventWriter(str(tmp_path))
+    w.scalars(1, {"train/loss": 0.5, "train/lr": 1e-3})
+    w.scalars(2, {"train/loss": 0.25, "skipme": "not-a-float"})
+    w.close()
+    recs = read_tb_scalars(w.path)
+    by = {(r["step"], r["tag"]): r["value"] for r in recs}
+    assert by[(1, "train/loss")] == pytest.approx(0.5)
+    assert by[(1, "train/lr")] == pytest.approx(1e-3, rel=1e-6)
+    assert by[(2, "train/loss")] == pytest.approx(0.25)
+    assert not any(r["tag"] == "skipme" for r in recs)
+    assert all(r["wall_time"] > 0 for r in recs)
+
+
+def test_metrics_logger_mirrors_tensorboard(tmp_path):
+    """MetricsLogger(tb_logdir=...) writes both metrics.jsonl and a parseable
+    events.out.tfevents.* with <kind>/<key> tags."""
+    import glob
+    from tacotron_tpu.utils import MetricsLogger, read_metrics, read_tb_scalars
+    path = str(tmp_path / "metrics.jsonl")
+    with MetricsLogger(path, tb_logdir=str(tmp_path)) as m:
+        m.write(10, {"loss": 1.5, "grad_norm": 0.1})
+        m.write(10, {"loss": 2.0}, kind="eval")
+    assert len(read_metrics(path)) == 2
+    (events,) = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    tags = {(r["step"], r["tag"]): r["value"] for r in read_tb_scalars(events)}
+    assert tags[(10, "train/loss")] == pytest.approx(1.5)
+    assert tags[(10, "train/grad_norm")] == pytest.approx(0.1)
+    assert tags[(10, "eval/loss")] == pytest.approx(2.0)
