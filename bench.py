@@ -6,12 +6,16 @@ greedy decode (text -> mel -> linear) plus on-chip 60-iteration Griffin-Lim
 vocoding, the full serving path of the reference
 (``/root/reference/synthesizer.py:69-287``, ``app.py:55-84``).
 
-Two synthesis numbers are measured:
+Three synthesis numbers are measured:
 - ``value`` / ``tpu_batch_seconds``: the raw fused program (decode + batched
-  GL in one jit) — the device capability;
+  classic 60-iteration GL in one jit, batch 32 — the sweep-optimal classic
+  configuration) — the device capability at reference-algorithm parity;
 - ``serving_audio_s_per_s``: through ``Synthesizer.synthesize`` (text
   frontend, bucketing, attention trim, batched vocoder, host transfers) —
-  the number a user of the product API actually gets.
+  the number a user of the product API actually gets;
+- ``fast_gla_audio_s_per_s``: momentum Griffin-Lim (30 iters, a=0.99),
+  whose spectral convergence equals classic 60 iterations — the
+  recommended serving configuration.
 
 ``vs_baseline``: the reference serves on CPU TF1.3 (``run.sh`` sets
 ``CUDA_VISIBLE_DEVICES=``); its dominant cost is the same 60-iteration
@@ -28,6 +32,7 @@ spread reported.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import sys
 import time
@@ -66,7 +71,9 @@ def main() -> None:
     from tacotron_tpu.synth import Synthesizer
 
     cfg = Config()
-    BATCH = 16
+    BATCH = 32               # classic-GL throughput sweet spot on v5e
+    # (scripts/synth_sweep.py: 778 audio-s/s at 32 vs 608 at 16, 751 at 64)
+    TRAIN_BATCH = 16         # reference hparams.py:122 parity
     MAX_STEPS = 50           # 50 * r=4 = 200 frames = 2.5 s audio each
 
     synth = Synthesizer().init_random(cfg)
@@ -115,10 +122,35 @@ def main() -> None:
     audio_seconds = BATCH * MAX_STEPS * r * hop_s
     tpu_throughput = audio_seconds / tpu_time
 
+    # ---- fast Griffin-Lim (momentum 0.99, 30 iters): spectral convergence
+    # equals classic 60 iters (scripts/synth_sweep.py + tests/test_dsp.py),
+    # at ~1.7x the throughput — the recommended serving configuration.
+    fast_audio = dataclasses.replace(cfg.audio, griffin_lim_iters=30,
+                                     griffin_lim_momentum=0.99)
+
+    @jax.jit
+    def synth_batch_fast(variables, inputs, lengths):
+        out = model.apply(variables, inputs, lengths, train=False,
+                          max_steps=MAX_STEPS)
+        wavs = dsp_chip.batched_linear_to_waveform(
+            out["linear_outputs"], fast_audio)
+        return wavs, jnp.sum(jnp.abs(wavs))
+
+    _, chk_fast = synth_batch_fast(variables, inputs_j, lengths_j)
+    assert np.isfinite(float(chk_fast))
+    fast_time, _, _ = _timed(
+        lambda: float(synth_batch_fast(variables, inputs_j, lengths_j)[1]),
+        reps=10)
+    fast_throughput = audio_seconds / fast_time
+
     # ---- serving path: the product API end to end (text_to_sequence,
-    # bucketing, greedy decode, attention trim, batched vocoder, host copies)
+    # bucketing, greedy decode, attention trim, batched vocoder, host copies).
+    # Batch 16: the serving path's own sweet spot — beyond it the wav
+    # transfer over the tunneled host link dominates and throughput drops.
+    serve_texts = texts[:16]
+
     def serve():
-        res = synth.synthesize(texts=texts, max_steps=MAX_STEPS,
+        res = synth.synthesize(texts=serve_texts, max_steps=MAX_STEPS,
                                attention_trim=False, librosa_trim=False)
         return sum(len(w) for w in res["wavs"])
 
@@ -141,19 +173,21 @@ def main() -> None:
     from tacotron_tpu.train import (Batch, create_train_state, make_optimizer,
                                     make_train_step)
     T_OUT = 192
+    NB = TRAIN_BATCH
     opt = make_optimizer(cfg.train)
     state = create_train_state(cfg, jax.random.PRNGKey(0), opt)
     tstep = make_train_step(cfg)
     rng_np = np.random.default_rng(0)
     tb = Batch(
-        inputs=jnp.asarray(inputs), input_lengths=jnp.asarray(lengths),
-        loss_coeff=jnp.ones((BATCH,), jnp.float32),
-        mel_targets=jnp.asarray(rng_np.random((BATCH, T_OUT, 80)),
+        inputs=jnp.asarray(inputs[:NB]),
+        input_lengths=jnp.asarray(lengths[:NB]),
+        loss_coeff=jnp.ones((NB,), jnp.float32),
+        mel_targets=jnp.asarray(rng_np.random((NB, T_OUT, 80)),
                                 jnp.float32),
-        linear_targets=jnp.asarray(rng_np.random((BATCH, T_OUT, 1025)),
+        linear_targets=jnp.asarray(rng_np.random((NB, T_OUT, 1025)),
                                    jnp.float32),
-        speaker_id=jnp.zeros((BATCH,), jnp.int32),
-        target_lengths=jnp.full((BATCH,), T_OUT - 1, jnp.int32))
+        speaker_id=jnp.zeros((NB,), jnp.int32),
+        target_lengths=jnp.full((NB,), T_OUT - 1, jnp.int32))
     drng = jax.random.PRNGKey(1)
 
     state_box = [state]
@@ -165,7 +199,7 @@ def main() -> None:
         float(m["param_norm"])
 
     train_time, train_p10, train_p90 = _timed(train_once)
-    train_frames_per_s = BATCH * T_OUT / train_time
+    train_frames_per_s = NB * T_OUT / train_time
 
     # ---- roofline accounting for the Griffin-Lim spectral step (the
     # dominant synthesis cost): 4 dense DFT matmuls per iteration
@@ -190,11 +224,18 @@ def main() -> None:
             "tpu_batch_seconds_p10_p90": [round(tpu_p10, 4),
                                           round(tpu_p90, 4)],
             "serving_audio_s_per_s": round(serve_throughput, 2),
+            "serving_batch": len(serve_texts),
             "serving_batch_seconds": round(serve_time, 4),
             "serving_batch_seconds_p10_p90": [round(serve_p10, 4),
                                               round(serve_p90, 4)],
             "serving_vs_raw": round(serve_throughput / tpu_throughput, 3),
+            "fast_gla_audio_s_per_s": round(fast_throughput, 2),
+            "fast_gla_batch_seconds": round(fast_time, 4),
+            "fast_gla_config": {"iters": 30, "momentum": 0.99,
+                                "note": "spectral convergence equals "
+                                        "classic 60-iter GL (test_dsp.py)"},
             "cpu_baseline_audio_s_per_s": round(host_throughput, 2),
+            "training_batch": NB,
             "training_frames_per_s_per_chip": round(train_frames_per_s, 1),
             "training_step_seconds": round(train_time, 4),
             "training_step_seconds_p10_p90": [round(train_p10, 4),
