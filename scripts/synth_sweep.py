@@ -116,7 +116,9 @@ def main() -> None:
                 dsp_chip.db_to_amp(
                     dsp_chip.denormalize_db(jnp.asarray(spec0), acfg)
                     + acfg.ref_level_db)) ** acfg.power
-            est = np.abs(np.asarray(dsp_chip.stft(wavs[0], acfg)))
+            # host STFT: the tunneled backend can't fetch complex arrays
+            from tacotron_tpu.dsp import host as dsp_host
+            est = np.abs(dsp_host.stft(np.asarray(wavs[0]), acfg)).T
             n = min(len(est), len(S))
             conv = float(np.linalg.norm(est[:n] - S[:n])
                          / np.linalg.norm(S[:n]))

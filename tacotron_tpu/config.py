@@ -34,7 +34,10 @@ class AudioConfig:
     power: float = 1.5  # magnitude exponent applied before Griffin-Lim
     # On-chip Griffin-Lim engine: "matmul_bf16" runs the DFT as bf16 MXU
     # matmuls (2x faster on TPU, waveform corr 0.994 vs fft); "fft" is the
-    # bit-careful XLA FFT path used for strict parity checks.
+    # bit-careful XLA FFT path used for strict parity checks; "pallas" fuses
+    # the magnitude-projection spectral step into a Pallas kernel;
+    # "matmul_split" factorizes the DFT into two VMEM-sized stages
+    # (Cooley-Tukey) — measured parity-not-win standalone, see dsp/chip.py.
     griffin_lim_impl: str = "matmul_bf16"
     # Fast Griffin-Lim (Perraudin et al. 2013) momentum: y' = t + a*(t - t_prev)
     # where t is the plain GL update.  0.0 (default) = classic Griffin-Lim,

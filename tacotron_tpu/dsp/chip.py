@@ -139,6 +139,139 @@ def _dft_matrices(n_fft: int) -> Tuple[np.ndarray, ...]:
     return dft_re, dft_im, idft_re, idft_im
 
 
+@functools.lru_cache(maxsize=4)
+def _split_dft_matrices(n_fft: int, n1: int = 128) -> dict:
+    """Two-stage (Cooley-Tukey) DFT factor matrices, n_fft = n1 * n2.
+
+    The dense [n_fft, n_freq] DFT matrices weigh ~19 MB in bf16 at
+    n_fft=2048 and must stream from HBM every Griffin-Lim iteration; the
+    factorized form needs only a [n1, n1] stage, an [n2, n2] stage, and an
+    [n2, n1] twiddle — ~140 KB, VMEM-resident — and ~4.5x fewer FLOPs.
+    Index split: time n = n2*i1 + i2 (i1 in [0,n1), i2 in [0,n2)),
+    frequency k = k1 + n1*k2 (validated to 1e-14 against np.fft).
+
+    Measured on TPU v5 lite (batch 32 x 201 frames, 60 iters): 0.173 s vs
+    0.116 s for the dense ``matmul_bf16`` engine — the inter-stage
+    transposes cost more than the saved FLOPs when the dense matmul already
+    amortizes its weight streaming over B*n_frames=6432 rows.  Kept as an
+    engine because its tiny VMEM-resident factor matrices are the required
+    shape for a fully-fused Pallas GL kernel, and because it halves HBM
+    weight traffic for small batches.
+    """
+    assert n_fft % n1 == 0, (n_fft, n1)
+    n2 = n_fft // n1
+    i1 = np.arange(n1)
+    i2 = np.arange(n2)
+    ang1 = -2.0 * np.pi * np.outer(i1, i1) / n1
+    angt = -2.0 * np.pi * np.outer(i2, i1) / n_fft
+    ang2 = -2.0 * np.pi * np.outer(i2, i2) / n2
+    f32 = np.float32
+    return {
+        "n1": n1, "n2": n2,
+        # forward (sign -)
+        "c1_re": np.cos(ang1).astype(f32), "c1_im": np.sin(ang1).astype(f32),
+        "tw_re": np.cos(angt).astype(f32), "tw_im": np.sin(angt).astype(f32),
+        "c2_re": np.cos(ang2).astype(f32), "c2_im": np.sin(ang2).astype(f32),
+        # inverse (sign +); 1/N folded into the last stage
+        "ic1_re": np.cos(-ang1).astype(f32),
+        "ic1_im": np.sin(-ang1).astype(f32),
+        "itw_re": np.cos(-angt).astype(f32),
+        "itw_im": np.sin(-angt).astype(f32),
+        "ic2_re": (np.cos(-ang2) / n_fft).astype(f32),
+        "ic2_im": (np.sin(-ang2) / n_fft).astype(f32),
+    }
+
+
+def _split_fft(frames: jnp.ndarray, n_fft: int,
+               dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Real [R, n_fft] -> full complex spectrum (re, im) [R, n_fft] via the
+    two-stage matmul DFT (standard bin order)."""
+    m = _split_dft_matrices(n_fft)
+    n1, n2 = m["n1"], m["n2"]
+    R = frames.shape[0]
+    c1_re, c1_im, tw_re, tw_im, c2_re, c2_im = (
+        jnp.asarray(m[k], dtype) for k in
+        ("c1_re", "c1_im", "tw_re", "tw_im", "c2_re", "c2_im"))
+    G = frames.reshape(R, n1, n2).transpose(0, 2, 1).reshape(R * n2, n1)
+    G = G.astype(dtype)
+    ar = (G @ c1_re).astype(jnp.float32).reshape(R, n2, n1)
+    ai = (G @ c1_im).astype(jnp.float32).reshape(R, n2, n1)
+    twr = jnp.asarray(m["tw_re"])[None]
+    twi = jnp.asarray(m["tw_im"])[None]
+    br = (ar * twr - ai * twi).transpose(0, 2, 1).reshape(R * n1, n2)
+    bi = (ar * twi + ai * twr).transpose(0, 2, 1).reshape(R * n1, n2)
+    br, bi = br.astype(dtype), bi.astype(dtype)
+    xr = ((br @ c2_re).astype(jnp.float32)
+          - (bi @ c2_im).astype(jnp.float32))
+    xi = ((br @ c2_im).astype(jnp.float32)
+          + (bi @ c2_re).astype(jnp.float32))
+    # k = k1 + n1*k2: reorder [R, k1, k2] -> [R, k]
+    xr = xr.reshape(R, n1, n2).transpose(0, 2, 1).reshape(R, n_fft)
+    xi = xi.reshape(R, n1, n2).transpose(0, 2, 1).reshape(R, n_fft)
+    return xr, xi
+
+
+def _split_ifft_real(xr: jnp.ndarray, xi: jnp.ndarray, n_fft: int,
+                     dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Full complex spectrum (re, im) [R, n_fft] -> real signal [R, n_fft]
+    (the real part of the inverse DFT; exact when the input is Hermitian)."""
+    m = _split_dft_matrices(n_fft)
+    n1, n2 = m["n1"], m["n2"]
+    R = xr.shape[0]
+    ic1_re, ic1_im, ic2_re, ic2_im = (
+        jnp.asarray(m[k], dtype) for k in
+        ("ic1_re", "ic1_im", "ic2_re", "ic2_im"))
+    Gr = xr.reshape(R, n1, n2).transpose(0, 2, 1).reshape(R * n2, n1)
+    Gi = xi.reshape(R, n1, n2).transpose(0, 2, 1).reshape(R * n2, n1)
+    Gr, Gi = Gr.astype(dtype), Gi.astype(dtype)
+    ar = ((Gr @ ic1_re).astype(jnp.float32)
+          - (Gi @ ic1_im).astype(jnp.float32)).reshape(R, n2, n1)
+    ai = ((Gr @ ic1_im).astype(jnp.float32)
+          + (Gi @ ic1_re).astype(jnp.float32)).reshape(R, n2, n1)
+    twr = jnp.asarray(m["itw_re"])[None]
+    twi = jnp.asarray(m["itw_im"])[None]
+    br = (ar * twr - ai * twi).transpose(0, 2, 1).reshape(R * n1, n2)
+    bi = (ar * twi + ai * twr).transpose(0, 2, 1).reshape(R * n1, n2)
+    br, bi = br.astype(dtype), bi.astype(dtype)
+    # real part only: Re(B @ C2) = Br@C2r - Bi@C2i
+    y = ((br @ ic2_re).astype(jnp.float32)
+         - (bi @ ic2_im).astype(jnp.float32))
+    return y.reshape(R, n1, n2).transpose(0, 2, 1).reshape(R, n_fft)
+
+
+def _mirror_full_spectrum(mag: jnp.ndarray) -> jnp.ndarray:
+    """[R, F=n_fft//2+1] magnitudes -> Hermitian-extended [R, n_fft]."""
+    return jnp.concatenate([mag, mag[:, -2:0:-1]], axis=-1)
+
+
+def _griffin_lim_split_batched(magnitude: jnp.ndarray, num_samples: int,
+                               config: AudioConfig) -> jnp.ndarray:
+    """Batched Griffin-Lim with the two-stage split DFT (impl =
+    "matmul_split"): full-spectrum formulation, the whole batch folded into
+    one [B*n_frames, n_fft] row matrix per iteration."""
+    B, n_frames, _ = magnitude.shape
+    n_fft = config.n_fft
+
+    mag_full = _mirror_full_spectrum(
+        magnitude.reshape(B * n_frames, -1))
+    ola = jax.vmap(lambda fr: overlap_add(fr, num_samples, config))
+    framer = jax.vmap(lambda y: frame_signal(y, config))
+
+    # zero-phase start == irfft(mag): inverse of the (real, Hermitian) mag
+    frames0 = _split_ifft_real(mag_full, jnp.zeros_like(mag_full), n_fft)
+    y = ola(frames0.reshape(B, n_frames, n_fft))
+
+    def gl_update(y):
+        frames = framer(y).reshape(B * n_frames, n_fft)
+        re, im = _split_fft(frames, n_fft)
+        inv_amp = jax.lax.rsqrt(jnp.maximum(re * re + im * im, 1e-16))
+        scale = mag_full * inv_amp
+        new = _split_ifft_real(re * scale, im * scale, n_fft)
+        return ola(new.reshape(B, n_frames, n_fft))
+
+    return _gl_loop(gl_update, y, config)
+
+
 def _gl_loop(gl_update, y0: jnp.ndarray, config: AudioConfig) -> jnp.ndarray:
     """Run ``griffin_lim_iters`` projection steps, classic or accelerated.
 
@@ -233,6 +366,8 @@ def griffin_lim_batched(magnitude: jnp.ndarray, num_samples: int,
     dispatching on ``config.griffin_lim_impl``."""
     if config.griffin_lim_impl == "pallas":
         return _griffin_lim_pallas_batched(magnitude, num_samples, config)
+    if config.griffin_lim_impl == "matmul_split":
+        return _griffin_lim_split_batched(magnitude, num_samples, config)
     return jax.vmap(lambda m: griffin_lim(m, num_samples, config))(magnitude)
 
 
@@ -249,6 +384,9 @@ def griffin_lim(magnitude: jnp.ndarray, num_samples: int,
     if config.griffin_lim_impl == "pallas":
         return _griffin_lim_pallas_batched(magnitude[None], num_samples,
                                            config)[0]
+    if config.griffin_lim_impl == "matmul_split":
+        return _griffin_lim_split_batched(magnitude[None], num_samples,
+                                          config)[0]
     if config.griffin_lim_impl == "matmul_bf16":
         return _griffin_lim_matmul(magnitude, num_samples, config)
     if config.griffin_lim_impl != "fft":
