@@ -36,8 +36,9 @@ class SynthWorker:
     thread consumes synthesis jobs from this queue.
     """
 
-    def __init__(self, synth: Synthesizer):
+    def __init__(self, synth: Synthesizer, fast_vocoder: bool = True):
         self.synth = synth
+        self.fast_vocoder = fast_vocoder
         self.jobs: "queue.Queue" = queue.Queue()
 
     def submit(self, text: str, speaker: int, timeout: float = 900.0):
@@ -48,7 +49,8 @@ class SynthWorker:
             try:
                 box["result"] = self.synth.synthesize(
                     texts=[text], speaker_ids=[speaker],
-                    attention_trim=True, librosa_trim=True)
+                    attention_trim=True, librosa_trim=True,
+                    fast_vocoder=self.fast_vocoder)
             except Exception as e:
                 box["error"] = e
             finally:
@@ -204,6 +206,9 @@ def main(argv=None) -> None:
     parser.add_argument("--random_init", action="store_true")
     parser.add_argument("--port", type=int, default=5100)
     parser.add_argument("--cache_dir", default="web_cache")
+    parser.add_argument("--classic_vocoder", action="store_true",
+                        help="reference-parity 60-iteration Griffin-Lim "
+                             "instead of the fast momentum preset")
     args = parser.parse_args(argv)
 
     import tacotron_tpu
@@ -219,7 +224,7 @@ def main(argv=None) -> None:
         synth.load(args.load_path)
         model_name = os.path.basename(os.path.normpath(args.load_path))
 
-    worker = SynthWorker(synth)
+    worker = SynthWorker(synth, fast_vocoder=not args.classic_vocoder)
     server = ThreadingHTTPServer(
         ("0.0.0.0", args.port),
         make_handler(worker, args.cache_dir, model_name))

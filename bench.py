@@ -11,8 +11,10 @@ Three synthesis numbers are measured:
   classic 60-iteration GL in one jit, batch 32 — the sweep-optimal classic
   configuration) — the device capability at reference-algorithm parity;
 - ``serving_audio_s_per_s``: through ``Synthesizer.synthesize`` (text
-  frontend, bucketing, attention trim, batched vocoder, host transfers) —
-  the number a user of the product API actually gets;
+  frontend, bucketing, batched vocoder, pipelined chunk dispatch, host
+  transfers) — the number a user of the product API actually gets at
+  reference parity; ``serving_fast_audio_s_per_s`` is the same call with
+  the recommended preset (``fast_vocoder=True, return_alignments=False``);
 - ``fast_gla_audio_s_per_s``: momentum Griffin-Lim (30 iters, a=0.99),
   whose spectral convergence equals classic 60 iterations — the
   recommended serving configuration.
@@ -144,20 +146,31 @@ def main() -> None:
     fast_throughput = audio_seconds / fast_time
 
     # ---- serving path: the product API end to end (text_to_sequence,
-    # bucketing, greedy decode, attention trim, batched vocoder, host copies).
-    # Batch 16: the serving path's own sweet spot — beyond it the wav
-    # transfer over the tunneled host link dominates and throughput drops.
-    serve_texts = texts[:16]
+    # bucketing, greedy decode, batched vocoder, host copies).  Batch 32 in
+    # two pipelined chunks of 16: chunk k+1 computes on-device while chunk
+    # k's packed int16 audio crosses the host link.  Two configurations:
+    # classic (reference-parity 60-iter GL, alignments fetched) and the
+    # recommended serving preset (fast_vocoder + return_alignments=False).
+    serve_texts = texts[:32]
 
     def serve():
         res = synth.synthesize(texts=serve_texts, max_steps=MAX_STEPS,
                                attention_trim=False, librosa_trim=False)
         return sum(len(w) for w in res["wavs"])
 
+    def serve_fast():
+        res = synth.synthesize(texts=serve_texts, max_steps=MAX_STEPS,
+                               attention_trim=False, librosa_trim=False,
+                               return_alignments=False, fast_vocoder=True)
+        return sum(len(w) for w in res["wavs"])
+
     serve_samples = serve()
     serve_time, serve_p10, serve_p90 = _timed(serve)
     serve_audio_s = serve_samples / cfg.audio.sample_rate
     serve_throughput = serve_audio_s / serve_time
+    assert serve_fast() == serve_samples
+    serve_fast_time, _, _ = _timed(serve_fast, reps=10)
+    serve_fast_throughput = serve_audio_s / serve_fast_time
 
     # ---- CPU baseline: host (numpy) Griffin-Lim of the same spectrograms,
     # the reference's serving hot path. One utterance, scaled to the batch.
@@ -229,6 +242,14 @@ def main() -> None:
             "serving_batch_seconds_p10_p90": [round(serve_p10, 4),
                                               round(serve_p90, 4)],
             "serving_vs_raw": round(serve_throughput / tpu_throughput, 3),
+            "serving_fast_audio_s_per_s": round(serve_fast_throughput, 2),
+            "serving_fast_batch_seconds": round(serve_fast_time, 4),
+            "serving_fast_vs_raw": round(
+                serve_fast_throughput / tpu_throughput, 3),
+            "serving_fast_config": {
+                "fast_vocoder": True, "return_alignments": False,
+                "note": "recommended serving preset; spectral convergence "
+                        "equals classic 60-iter GL"},
             "fast_gla_audio_s_per_s": round(fast_throughput, 2),
             "fast_gla_batch_seconds": round(fast_time, 4),
             "fast_gla_config": {"iters": 30, "momentum": 0.99,

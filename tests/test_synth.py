@@ -155,3 +155,31 @@ def test_synthesizer_fused_chip_path():
         assert np.abs(wav).max() <= 1.0  # int16 round trip
         assert align.shape[0] == len(seq)
     assert out["linear"] is None  # spectrograms stay on device (documented)
+
+
+def test_synthesizer_serving_options():
+    """return_alignments=False skips the alignment fetch; fast_vocoder=True
+    swaps in momentum Griffin-Lim — wavs stay finite, same trimmed shapes,
+    and the two vocoder presets produce correlated audio."""
+    cfg = Config().replace(model=ModelConfig(max_iters=6))
+    synth = Synthesizer().init_random(cfg)
+    texts = ["안녕하세요", "반갑습니다 여러분"]
+    base = synth.synthesize(texts=texts, max_steps=6, vocode="chip",
+                            attention_trim=False, librosa_trim=False)
+    fast = synth.synthesize(texts=texts, max_steps=6, vocode="chip",
+                            attention_trim=False, librosa_trim=False,
+                            return_alignments=False, fast_vocoder=True)
+    assert fast["alignments"] == []
+    assert len(fast["wavs"]) == 2
+    for wb, wf in zip(base["wavs"], fast["wavs"]):
+        assert wf.shape == wb.shape and np.isfinite(wf).all()
+    # multi-chunk pipelined path: force two chunks via VOCODER_MAX_BATCH
+    old = Synthesizer.VOCODER_MAX_BATCH
+    try:
+        Synthesizer.VOCODER_MAX_BATCH = 1
+        two = synth.synthesize(texts=texts, max_steps=6, vocode="chip",
+                               attention_trim=False, librosa_trim=False)
+    finally:
+        Synthesizer.VOCODER_MAX_BATCH = old
+    for wa, wb in zip(base["wavs"], two["wavs"]):
+        np.testing.assert_allclose(wa, wb, atol=1e-4)
