@@ -29,7 +29,10 @@ north-star target: vs_baseline >= 10 (BASELINE.md).
 Timing discipline: every measured function returns a scalar checksum that is
 ``float()``-ed inside the timed region (block_until_ready on tunneled TPU
 backends can return early); >= 3 warmup calls; 20 reps; median with p10/p90
-spread reported.
+spread reported.  Training throughput is steady-state: a 20-step chain with
+one end-of-chain sync (how ``train/driver.py`` actually runs — it fetches
+scalars only at logging intervals); the per-step-synced figure is reported
+alongside as ``training_synced_*``.
 """
 
 from __future__ import annotations
@@ -212,7 +215,25 @@ def main() -> None:
         float(m["param_norm"])
 
     train_time, train_p10, train_p90 = _timed(train_once)
-    train_frames_per_s = NB * T_OUT / train_time
+    train_synced_frames_per_s = NB * T_OUT / train_time
+
+    # Steady-state throughput: a real trainer (train/driver.py) dispatches
+    # steps back-to-back and only fetches scalars at logging intervals, so
+    # it does not pay the tunnel round trip per step.  Each step consumes
+    # the previous state, so one float() on the final step's param_norm
+    # forces the entire chain — honest timing without per-step syncs.
+    CHAIN = 20
+
+    def train_chain():
+        s = state_box[0]
+        m = None
+        for _ in range(CHAIN):
+            s, m = tstep(s, tb, drng)
+        state_box[0] = s
+        float(m["param_norm"])
+
+    chain_time, chain_p10, chain_p90 = _timed(train_chain, reps=5, warmup=2)
+    train_frames_per_s = NB * T_OUT * CHAIN / chain_time
 
     # ---- roofline accounting for the Griffin-Lim spectral step (the
     # dominant synthesis cost): 4 dense DFT matmuls per iteration
@@ -258,9 +279,19 @@ def main() -> None:
             "cpu_baseline_audio_s_per_s": round(host_throughput, 2),
             "training_batch": NB,
             "training_frames_per_s_per_chip": round(train_frames_per_s, 1),
-            "training_step_seconds": round(train_time, 4),
-            "training_step_seconds_p10_p90": [round(train_p10, 4),
-                                              round(train_p90, 4)],
+            "training_step_seconds": round(chain_time / CHAIN, 4),
+            "training_step_seconds_p10_p90": [round(chain_p10 / CHAIN, 4),
+                                              round(chain_p90 / CHAIN, 4)],
+            "training_chain_length": CHAIN,
+            "training_synced_frames_per_s": round(train_synced_frames_per_s,
+                                                  1),
+            "training_synced_step_seconds": round(train_time, 4),
+            "training_synced_step_seconds_p10_p90": [round(train_p10, 4),
+                                                     round(train_p90, 4)],
+            "training_note": "frames_per_s is steady-state (20-step chain, "
+                             "single end sync — how train/driver.py runs); "
+                             "synced_* pays the tunneled-backend round trip "
+                             "every step",
             "roofline": {
                 "gl_matmul_tflop_per_batch": round(gl_flops / 1e12, 2),
                 "achieved_tflop_s_lower_bound": round(achieved_tflops, 1),

@@ -44,8 +44,21 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
           webhook_url: Optional[str] = None,
           skip_path_filter: bool = False,
           blacklists: Sequence[str] = (),
-          prewarm: bool = False) -> TrainState:
-    """Run the training loop; returns the final state."""
+          prewarm: bool = False,
+          sync_every: int = 25) -> TrainState:
+    """Run the training loop; returns the final state.
+
+    ``sync_every`` controls the dispatch-ahead depth: device metrics are
+    buffered as one packed array per step and fetched in a single host
+    transfer every ``sync_every`` steps (and before eval/checkpoint), so
+    the loop never blocks on a per-step device round trip — on a tunneled
+    TPU backend that round trip (~20 ms) would otherwise dominate the step.
+    Per-step log lines and the per-step divergence guard are preserved;
+    they are just emitted in batches at each flush (detection latency <=
+    ``sync_every`` steps, and a diverged state is never checkpointed
+    because the flush runs before every save).  ``sync_every=1`` restores
+    the reference's fully synchronous ``sess.run`` cadence
+    (``/root/reference/train.py:215-230``)."""
     os.makedirs(run_dir, exist_ok=True)
     init_log(os.path.join(run_dir, "train.log"), os.path.basename(run_dir),
              webhook_url=webhook_url)
@@ -141,48 +154,70 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
     # persisted scalars (the reference's TB summary set, train.py:50-77)
     metrics_log = MetricsLogger(os.path.join(run_dir, "metrics.jsonl"),
                                 tb_logdir=run_dir)
+
+    # Deferred metric pipeline: each step's scalar metrics are packed into
+    # ONE small device array (an async device op); ``pending`` holds
+    # (step, packed) pairs until flush stacks them and pulls the lot in a
+    # single host transfer.  Because each step consumes the previous state,
+    # that one transfer is also a true sync point for the whole chain.
+    import jax.numpy as jnp
+    metric_keys: list = []
+    pending: list = []
+
+    def flush():
+        if not pending:
+            return
+        rows = np.asarray(jnp.stack([p for _, p in pending]))
+        steps = [s for s, _ in pending]
+        pending.clear()
+        for s, row in zip(steps, rows):
+            m = dict(zip(metric_keys, row.tolist()))
+            loss = m["loss"]
+            loss_window.append(loss)
+            if s % log_every == 0:
+                log(f"Step {s:7d} [{time_window.average:.3f} sec/step, "
+                    f"loss={loss:.5f}, avg_loss={loss_window.average:.5f}]")
+                scalars = {k: v for k, v in m.items() if k != "diverged"}
+                scalars["sec_per_step"] = time_window.average
+                metrics_log.write(s, scalars)
+            if m["diverged"]:
+                log(f"Loss exploded to {loss:.5f} at step {s}!",
+                    notify=True)
+                raise DivergenceError(f"loss exploded at step {s}")
+
+    host_step = int(state.step)  # host mirror: int(state.step) would sync
     try:
-        while int(state.step) < num_steps:
+        while host_step < num_steps:
             # jax.profiler trace window (SURVEY.md §5.1: the reference only
             # had wall-clock sec/step; this captures a real device trace)
             if profile_dir and not profiling \
-                    and int(state.step) == profile_steps[0]:
+                    and host_step == profile_steps[0]:
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
                 log(f"profiler trace started -> {profile_dir}")
             start = time.time()
             batch = Batch(*shard_batch(plan, train_feeder.get()))
             state, metrics = step_fn(state, batch, dropout_rng)
-            loss = float(metrics["loss"])
-            step = int(state.step)
-            time_window.append(time.time() - start)
-            loss_window.append(loss)
+            step = host_step = host_step + 1
+            if not metric_keys:
+                metric_keys.extend(sorted(metrics))
+            pending.append((step, jnp.stack(
+                [metrics[k].astype(jnp.float32) for k in metric_keys])))
 
             if profiling and step >= profile_steps[1]:
                 jax.profiler.stop_trace()
                 profiling = False
                 log("profiler trace stopped")
 
-            if step % log_every == 0:
-                log(f"Step {step:7d} [{time_window.average:.3f} sec/step, "
-                    f"loss={loss:.5f}, avg_loss={loss_window.average:.5f}]")
-                metrics_log.write(step, {
-                    "loss": loss,
-                    "mel_loss": metrics["mel_loss"],
-                    "linear_loss": metrics["linear_loss"],
-                    "loss_without_coeff": metrics["loss_without_coeff"],
-                    "learning_rate": metrics["learning_rate"],
-                    "grad_norm": metrics["grad_norm"],
-                    "param_norm": metrics["param_norm"],
-                    "sec_per_step": time_window.average,
-                })
-
-            if bool(metrics["diverged"]):
-                log(f"Loss exploded to {loss:.5f} at step {step}!",
-                    notify=True)
-                raise DivergenceError(f"loss exploded at step {step}")
+            if step % sync_every == 0:
+                flush()
+            # appended after the periodic flush so the window amortizes the
+            # sync wait over its interval — sec_per_step stays wall-honest
+            # instead of measuring only async dispatch time
+            time_window.append(time.time() - start)
 
             if step % tc.test_interval == 0:
+                flush()
                 em = eval_fn(state, test_batch)
                 gap = float(em["loss"]) - loss_window.average
                 log(f"  eval @ {step}: loss={float(em['loss']):.5f} "
@@ -200,8 +235,10 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
                                   test_dump_dir)
 
             if step % tc.checkpoint_interval == 0:
+                flush()  # a diverged state must never be checkpointed
                 mgr.save(state)
                 log(f"  checkpointed at step {step}")
+        flush()
     finally:
         if profiling:
             jax.profiler.stop_trace()
