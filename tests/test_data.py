@@ -289,6 +289,28 @@ def test_train_driver_writes_metrics_and_provenance(corpus, tmp_path):
         assert fh.read().startswith("hash: ")
 
 
+def test_train_driver_divergence_guard(corpus, tmp_path):
+    """The loss-explosion guard (reference train.py:228-230) still fires
+    under the dispatch-ahead loop, where metrics are flushed in batches
+    rather than fetched per step: an absurd learning rate must raise
+    DivergenceError by the end-of-run flush at the latest."""
+    import dataclasses
+    import jax
+    from tacotron_tpu.parallel import make_mesh
+    from tacotron_tpu.train.driver import DivergenceError, train
+
+    cfg = _tiny_config()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, test_interval=1000, checkpoint_interval=1000,
+        decay_learning_rate_mode=1, initial_learning_rate=1e6))
+    plan = make_mesh(devices=jax.devices()[:2])
+    with pytest.raises(DivergenceError):
+        train(str(tmp_path / "run_div"), corpus, cfg, num_steps=10,
+              log_every=1, plan=plan)
+    with open(os.path.join(str(tmp_path / "run_div"), "train.log")) as fh:
+        assert "Loss exploded" in fh.read()
+
+
 def test_feeder_pad_to_corpus_max(corpus):
     """pad_to_corpus_max yields one static shape for every batch."""
     import dataclasses
