@@ -17,11 +17,14 @@ Layout notes:
   concatenated in branch order (mathematically identical).
 - Dense/conv kernels are identical layouts ([in, out] / [width, in, out]).
 
-The decoder-side RNN scopes (``AttentionWrapper``/``MultiRNNCell`` internal
-naming) can only be confirmed against a real TF1.3 checkpoint; the mapping
-below covers them best-effort and :func:`import_report` lists every source
-variable that did not match and every target leaf not filled, so a real
-``son``/``park`` bundle pins down any residual renames quickly.
+Two mappers exist: the exact rule table in :mod:`.names` (the complete
+inventory including decoder wrapper-stack scopes, used whenever a
+``Config`` is supplied — zero unmatched/unfilled residue, round-tripped in
+``tests/test_compat.py``), and the lenient regex mapper below (no config
+needed; covers the common scopes when the exact hyperparameters of a
+foreign bundle are unknown).  :func:`import_report` lists every source
+variable that did not match and every target leaf not filled, so any
+residual rename in a real ``son``/``park`` bundle is pinned down quickly.
 """
 
 from __future__ import annotations
