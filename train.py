@@ -52,6 +52,10 @@ def main(argv=None) -> None:
     parser.add_argument("--prewarm", action="store_true",
                         help="compile the whole bucket ladder before step 1 "
                              "(no mid-training compile stalls)")
+    parser.add_argument("--sync_every", type=int, default=25,
+                        help="steps between host metric flushes (dispatch-"
+                             "ahead depth); 1 = fully synchronous like the "
+                             "reference's sess.run loop")
     parser.add_argument("--distributed", action="store_true",
                         help="join a multi-host pod slice "
                              "(jax.distributed.initialize)")
@@ -99,7 +103,8 @@ def main(argv=None) -> None:
           webhook_url=args.webhook_url,
           skip_path_filter=args.skip_path_filter,
           blacklists=[b for b in args.blacklists.split(",") if b],
-          prewarm=args.prewarm)
+          prewarm=args.prewarm,
+          sync_every=args.sync_every)
 
 
 if __name__ == "__main__":
