@@ -301,11 +301,16 @@ class DataFeeder:
         A batch's token axis pads to ``round_up(max tokens)`` and its frame
         axis to ``round_up(round_up(max frames + 1, r), frame_bucket)`` —
         both maxima over the batch, so every batch shape is a pair of
-        *per-example* bucket values.  Returns the cross product of the
-        observed per-example token and frame buckets (a small superset of
-        the pairs that actually co-occur), sorted; with
-        ``pad_to_corpus_max`` this collapses to the single corpus-max shape.
-        Empty when the filter scan was skipped (no length records)."""
+        *per-example* bucket values attained by possibly different
+        examples.  A pair ``(T, F)`` is therefore reachable iff some
+        example attains token bucket ``T`` with frame bucket <= ``F`` AND
+        some example attains frame bucket ``F`` with token bucket <= ``T``
+        — the full toks x frames cross product would prewarm programs that
+        can never occur (token and frame lengths are strongly correlated,
+        and a cold full-model compile costs minutes per shape).  Returns
+        the reachable pairs, sorted; with ``pad_to_corpus_max`` this
+        collapses to the single corpus-max shape.  Empty when the filter
+        scan was skipped (no length records)."""
         dc = self.config.data
         r = self.config.model.reduction_factor
         fb = max(dc.bucket_size_frames, r)
@@ -321,9 +326,18 @@ class DataFeeder:
                      frame_bucket(self.corpus_max["frames"]))]
         if not self.length_records:
             return []
-        toks = sorted({tok_bucket(t) for t, _ in self.length_records})
-        frames = sorted({frame_bucket(f) for _, f in self.length_records})
-        return sorted((t, f) for t in toks for f in frames)
+        pairs = {(tok_bucket(t), frame_bucket(f))
+                 for t, f in self.length_records}
+        toks = sorted({t for t, _ in pairs})
+        frames = sorted({f for _, f in pairs})
+        reachable = []
+        for T in toks:
+            min_f_at_t = min(f for t, f in pairs if t == T)
+            for F in frames:
+                if F >= min_f_at_t and any(
+                        t <= T and f == F for t, f in pairs):
+                    reachable.append((T, F))
+        return sorted(reachable)
 
     # ------------------------------------------------------------ iteration
 

@@ -272,7 +272,13 @@ class Synthesizer:
                         < ends[:, None])[..., None]
                 wavs = dsp_chip.batched_linear_to_waveform(
                     linear * mask, audio_cfg)
-                wav_i16 = jnp.clip(wavs * 32767.0, -32768, 32767).astype(
+                # Per-utterance peak normalization BEFORE int16 quantization
+                # (host save_audio semantics, dsp/host.py:40): Griffin-Lim
+                # output amplitude is unbounded, so a bare *32767 clip would
+                # square-wave any waveform whose peak exceeds 1.0.
+                peak = jnp.max(jnp.abs(wavs), axis=1, keepdims=True)
+                scale = 32767.0 / jnp.maximum(0.01, peak)
+                wav_i16 = jnp.clip(wavs * scale, -32768, 32767).astype(
                     jnp.int16)
                 # pack ends (frame counts, < 32767) as one extra int16 row so
                 # audio+lengths arrive in ONE host fetch — on tunneled
@@ -284,23 +290,6 @@ class Synthesizer:
                 return packed, aligns
 
             self._compiled[key] = jax.jit(fn)
-        return self._compiled[key]
-
-    def _vocoder(self, batch: int, n_frames: int):
-        """Jitted *batched* on-chip inversion, cached per
-        (batch-bucket, frame-bucket) shape.  Eager dispatch of the
-        Griffin-Lim loop hits unimplemented paths on some TPU runtimes and
-        is slow everywhere; per-utterance inversion wastes the MXU — the
-        whole batch inverts as one program (see dsp/chip.py
-        batched_linear_to_waveform)."""
-        key = ("vocode", batch, n_frames)
-        if key not in self._compiled:
-            audio_cfg = self.config.audio
-
-            def voc(specs):
-                return dsp_chip.batched_linear_to_waveform(specs, audio_cfg)
-
-            self._compiled[key] = jax.jit(voc)
         return self._compiled[key]
 
     # ----------------------------------------------------------- synthesize
@@ -373,8 +362,7 @@ class Synthesizer:
             is_manual = jnp.asarray(True)
         else:
             man = None
-            is_manual = jnp.asarray(False) if manual_alignments is None \
-                else jnp.asarray(True)
+            is_manual = jnp.asarray(False)
 
         if vocode not in ("chip", "host", "none"):
             raise ValueError(f"unknown vocode mode {vocode!r}")
@@ -485,12 +473,16 @@ class Synthesizer:
         from ..utils.plot import plot_alignment
         os.makedirs(out_dir, exist_ok=True)
         paths = []
+        # alignments is [] when synthesize ran with return_alignments=False
+        # (the fast serving preset) — still save every waveform, just skip
+        # the plots, instead of letting zip() truncate to nothing.
+        aligns = results["alignments"] or [None] * len(results["wavs"])
         for i, (wav, align, seq) in enumerate(zip(
-                results["wavs"], results["alignments"],
-                results["sequences"])):
+                results["wavs"], aligns, results["sequences"])):
             wav_path = os.path.join(out_dir, f"{prefix}_{i}.wav")
             dsp_host.save_audio(wav, wav_path, self.config.audio)
-            plot_alignment(align, wav_path.replace(".wav", ".png"),
-                           token_ids=seq, input_length=len(seq))
+            if align is not None:
+                plot_alignment(align, wav_path.replace(".wav", ".png"),
+                               token_ids=seq, input_length=len(seq))
             paths.append(wav_path)
         return paths

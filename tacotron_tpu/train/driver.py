@@ -186,6 +186,8 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
                 raise DivergenceError(f"loss exploded at step {s}")
 
     host_step = int(state.step)  # host mirror: int(state.step) would sync
+    sync_every = max(1, int(sync_every))  # 0/negative would break the cadence
+    diverged = False
     try:
         while host_step < num_steps:
             # jax.profiler trace window (SURVEY.md §5.1: the reference only
@@ -239,12 +241,19 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
                 mgr.save(state)
                 log(f"  checkpointed at step {step}")
         flush()
+    except DivergenceError:
+        diverged = True
+        raise
     finally:
         if profiling:
             jax.profiler.stop_trace()
         train_feeder.stop()
         metrics_log.close()
-        mgr.save(state)
+        if not diverged:
+            # persist progress on normal end / interruption — but never a
+            # state that the guard flagged (it is up to sync_every steps of
+            # NaN past the explosion; resuming from it would re-diverge)
+            mgr.save(state)
         mgr.close()
     return state
 

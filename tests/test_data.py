@@ -231,6 +231,20 @@ def test_feeder_bucket_shapes(corpus):
     b = next(feeder_max.batches())
     assert (b.inputs.shape[1], b.mel_targets.shape[1]) == max_shapes[0]
 
+    # reachability filter: with correlated lengths (short text <-> short
+    # audio) the ladder must NOT be the full toks x frames cross product —
+    # (max tokens, min frames) can never be a batch shape because no
+    # example attaining the max token bucket fits under the min frame
+    # bucket.  Records are (n_tokens, n_frames) pre-bucketing.
+    feeder.length_records = [(4, 40), (40, 400), (80, 800)]
+    shapes = feeder.bucket_shapes()
+    toks = {t for t, _ in shapes}
+    frames = {f for _, f in shapes}
+    assert len(shapes) < len(toks) * len(frames)
+    assert (max(toks), min(frames)) not in shapes
+    # diagonal pairs and the all-max pair stay reachable
+    assert (max(toks), max(frames)) in shapes
+
 
 def test_train_driver_prewarm(corpus, tmp_path):
     """prewarm=True compiles the bucket ladder before step 1 and the loop

@@ -2,6 +2,8 @@
 post-hoc attention transforms, and an end-to-end random-weights synthesis
 through the public Synthesizer API (CPU, small shapes)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -157,7 +159,7 @@ def test_synthesizer_fused_chip_path():
     assert out["linear"] is None  # spectrograms stay on device (documented)
 
 
-def test_synthesizer_serving_options():
+def test_synthesizer_serving_options(tmp_path):
     """return_alignments=False skips the alignment fetch; fast_vocoder=True
     swaps in momentum Griffin-Lim — wavs stay finite, same trimmed shapes,
     and the two vocoder presets produce correlated audio."""
@@ -173,6 +175,12 @@ def test_synthesizer_serving_options():
     assert len(fast["wavs"]) == 2
     for wb, wf in zip(base["wavs"], fast["wavs"]):
         assert wf.shape == wb.shape and np.isfinite(wf).all()
+    # save_results must not let zip() truncate on the empty alignments of
+    # the fast preset: every waveform is written, plots are just skipped
+    out_dir = str(tmp_path / "fast_out")
+    paths = synth.save_results(fast, out_dir)
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+    assert not [f for f in os.listdir(out_dir) if f.endswith(".png")]
     # multi-chunk pipelined path: force two chunks via VOCODER_MAX_BATCH
     old = Synthesizer.VOCODER_MAX_BATCH
     try:
