@@ -235,11 +235,35 @@ def main() -> None:
     chain_time, chain_p10, chain_p90 = _timed(train_chain, reps=5, warmup=2)
     train_frames_per_s = NB * T_OUT * CHAIN / chain_time
 
+    # bf16 compute path (params/optimizer stay f32): the recommended TPU
+    # training setting — convergence equivalent, measured faster once the
+    # loop is not sync-bound (docs/BF16_STUDY.md)
+    cfg_bf16 = cfg.replace(model=dataclasses.replace(
+        cfg.model, compute_dtype="bfloat16"))
+    state_bf16 = create_train_state(cfg_bf16, jax.random.PRNGKey(0), opt)
+    tstep_bf16 = make_train_step(cfg_bf16)
+    bf16_box = [state_bf16]
+
+    def train_chain_bf16():
+        s = bf16_box[0]
+        m = None
+        for _ in range(CHAIN):
+            s, m = tstep_bf16(s, tb, drng)
+        bf16_box[0] = s
+        float(m["param_norm"])
+
+    bf16_time, _, _ = _timed(train_chain_bf16, reps=5, warmup=2)
+    bf16_frames_per_s = NB * T_OUT * CHAIN / bf16_time
+
     # ---- roofline accounting for the Griffin-Lim spectral step (the
-    # dominant synthesis cost): 4 dense DFT matmuls per iteration
-    n_fft, F = cfg.audio.n_fft, cfg.audio.num_freq
+    # dominant synthesis cost): the default "matmul_half" engine's DIF
+    # split-bin matmuls (dsp/chip.py::_half_dft_matrices) per iteration
+    n_fft = cfg.audio.n_fft
+    M, ne, no = n_fft // 2, n_fft // 4 + 1, n_fft // 4
     gl_rows = BATCH * MAX_STEPS * r
-    gl_flops = cfg.audio.griffin_lim_iters * 4 * 2 * gl_rows * n_fft * F
+    macs_per_row = (2 * M * ne + 4 * M * no     # forward even/odd bins
+                    + 2 * ne * n_fft + 2 * no * n_fft)  # split-row inverse
+    gl_flops = cfg.audio.griffin_lim_iters * gl_rows * 2 * macs_per_row
     v5e_bf16_peak_tflops = 394.0
     achieved_tflops = gl_flops / tpu_time / 1e12  # upper bound: whole
     # program time incl decode/framing/OLA attributed to GL matmuls
@@ -292,16 +316,22 @@ def main() -> None:
                              "single end sync — how train/driver.py runs); "
                              "synced_* pays the tunneled-backend round trip "
                              "every step",
+            "training_bf16_frames_per_s": round(bf16_frames_per_s, 1),
+            "training_bf16_step_seconds": round(bf16_time / CHAIN, 4),
+            "training_bf16_note": "compute_dtype=bfloat16 (params f32) — "
+                                  "the recommended TPU setting; convergence "
+                                  "equivalence in docs/BF16_STUDY.md",
             "roofline": {
                 "gl_matmul_tflop_per_batch": round(gl_flops / 1e12, 2),
                 "achieved_tflop_s_lower_bound": round(achieved_tflops, 1),
                 "bf16_peak_tflop_s": v5e_bf16_peak_tflops,
                 "mxu_utilization_pct": round(
                     100 * achieved_tflops / v5e_bf16_peak_tflops, 1),
-                "note": "GL-matmul FLOPs / full-program wall time; the "
-                        "non-MXU remainder is framing/OLA bandwidth and "
-                        "the fixed ~28 ms dispatch overhead of the "
-                        "tunneled backend",
+                "note": "matmul_half-engine FLOPs / full-program wall "
+                        "time; the non-MXU remainder is framing/OLA "
+                        "bandwidth and the fixed ~28 ms dispatch overhead "
+                        "of the tunneled backend (the loop is NOT "
+                        "matmul-bound: a 2.3x MAC cut bought only ~10%)",
             },
             "device": str(jax.devices()[0]),
         },

@@ -258,3 +258,54 @@ def test_griffin_lim_matmul_split_engine():
     # single-spectrogram dispatch hits the same path
     w1 = np.asarray(chip.griffin_lim(mag[0], num_samples, cfg_split))
     np.testing.assert_allclose(w1, wb[0], atol=1e-4)
+
+
+def test_half_dft_exact():
+    """The DIF half-spectrum rfft/irfft must match np.fft to f32 precision:
+    split-bin forward layout, inverse, and round trip."""
+    import jax.numpy as jnp
+    from tacotron_tpu.dsp import chip
+
+    rng = np.random.default_rng(3)
+    n_fft = 2048
+    x = rng.standard_normal((5, n_fft)).astype(np.float32)
+    er, ei, our, oui = chip._dif_rfft(jnp.asarray(x), n_fft,
+                                      dtype=jnp.float32)
+    ref = np.fft.rfft(x, axis=-1)
+    np.testing.assert_allclose(np.asarray(er), ref.real[:, 0::2], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ei), ref.imag[:, 0::2], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(our), ref.real[:, 1::2], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(oui), ref.imag[:, 1::2], atol=2e-3)
+
+    f32 = np.float32
+    y = chip._dif_irfft(jnp.asarray(ref.real[:, 0::2].astype(f32)),
+                        jnp.asarray(ref.imag[:, 0::2].astype(f32)),
+                        jnp.asarray(ref.real[:, 1::2].astype(f32)),
+                        jnp.asarray(ref.imag[:, 1::2].astype(f32)),
+                        n_fft, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), x, atol=1e-4)
+    y2 = chip._dif_irfft(er, ei, our, oui, n_fft, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y2), x, atol=1e-4)
+
+
+def test_griffin_lim_matmul_half_engine():
+    """The half-spectrum engine is a drop-in GL engine: same waveform as
+    the fft engine (batched + single dispatch)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from tacotron_tpu.dsp import chip
+
+    cfg_fft = dataclasses.replace(AudioConfig(), griffin_lim_impl="fft",
+                                  griffin_lim_iters=8)
+    cfg_half = dataclasses.replace(cfg_fft, griffin_lim_impl="matmul_half")
+    rng = np.random.default_rng(5)
+    n_frames = 12
+    num_samples = (n_frames - 1) * cfg_fft.hop_length
+    mag = jnp.asarray(rng.random((2, n_frames, 1025)).astype(np.float32))
+    wa = np.asarray(chip.griffin_lim_batched(mag, num_samples, cfg_fft))
+    wb = np.asarray(chip.griffin_lim_batched(mag, num_samples, cfg_half))
+    corr = np.corrcoef(wa.ravel(), wb.ravel())[0, 1]
+    assert corr > 0.97, corr
+    assert 0.95 < wb.std() / wa.std() < 1.05
+    w1 = np.asarray(chip.griffin_lim(mag[0], num_samples, cfg_half))
+    np.testing.assert_allclose(w1, wb[0], atol=1e-4)
