@@ -28,7 +28,15 @@ def main(argv=None) -> None:
                         choices=[0, 1, 2, 3],
                         help="post-hoc attention: 0=off, 1=argmax one-hot, "
                              "2=sharpen, 3=prune (reference eval.py:126-127)")
+    parser.add_argument("--attention_retry", type=int, default=0,
+                        choices=[0, 1, 2],
+                        help="per-utterance attention health check; failed "
+                             "utterances re-decode with post-hoc manual "
+                             "attention of this mode (0=off)")
     args = parser.parse_args(argv)
+    if args.attention_retry and args.manual_attention_mode:
+        parser.error("--attention_retry and --manual_attention_mode are "
+                     "mutually exclusive")
 
     import tacotron_tpu
     tacotron_tpu.enable_compilation_cache()
@@ -44,10 +52,19 @@ def main(argv=None) -> None:
         for speaker in range(args.speakers):
             for lo in range(0, len(texts), args.batch_size):
                 chunk = texts[lo:lo + args.batch_size]
-                results = synth.synthesize(
-                    texts=chunk, speaker_ids=[speaker] * len(chunk),
-                    max_steps=args.max_steps,
-                    manual_attention_mode=args.manual_attention_mode)
+                if args.attention_retry:
+                    results = synth.synthesize_robust(
+                        texts=chunk, speaker_ids=[speaker] * len(chunk),
+                        max_steps=args.max_steps,
+                        retry_mode=args.attention_retry)
+                    for i in results["retried"]:
+                        print(f"[!] attention retry: {chunk[i]!r} "
+                              f"{results['attention_health'][i]}")
+                else:
+                    results = synth.synthesize(
+                        texts=chunk, speaker_ids=[speaker] * len(chunk),
+                        max_steps=args.max_steps,
+                        manual_attention_mode=args.manual_attention_mode)
                 out_dir = os.path.join(args.sample_path, run_name,
                                        f"speaker{speaker}")
                 paths = synth.save_results(results, out_dir,

@@ -1,7 +1,8 @@
 """Synthesis layer: batched greedy decode, vocoding, trimming, CLI."""
 
-from .synthesizer import (Synthesizer, attention_trim_index,
-                          posthoc_attention, trim_silence_db)
+from .synthesizer import (Synthesizer, attention_health,
+                          attention_trim_index, posthoc_attention,
+                          trim_silence_db)
 
-__all__ = ["Synthesizer", "attention_trim_index", "posthoc_attention",
-           "trim_silence_db"]
+__all__ = ["Synthesizer", "attention_health", "attention_trim_index",
+           "posthoc_attention", "trim_silence_db"]

@@ -138,6 +138,45 @@ def posthoc_attention(alignments: np.ndarray, mode: int) -> np.ndarray:
     raise ValueError(f"unknown manual_attention_mode {mode}")
 
 
+def attention_health(alignment: np.ndarray,
+                     coverage_threshold: float = 0.2,
+                     min_coverage: float = 0.5,
+                     min_focus: float = 0.25,
+                     min_monotonicity: float = 0.6) -> Dict[str, float]:
+    """Per-utterance attention diagnostics for one [T_in, T_dec] alignment
+    (cropped to the true input length).
+
+    Three signatures of a failed decode (a quality lever beyond the
+    reference, which only exposes manual attention globally,
+    ``eval.py:126-127``):
+
+    - ``coverage``: fraction of input tokens whose max attention over the
+      decode exceeds ``coverage_threshold`` — collapsed attention skips
+      text;
+    - ``focus``: mean over decode steps of the max attention weight —
+      diffuse attention mumbles;
+    - ``monotonicity``: fraction of decode steps whose argmax does not
+      move backward by more than 2 tokens — Tacotron attention should
+      sweep left to right.
+
+    ``ok`` is the conjunction of the three thresholds.
+    """
+    alignment = np.asarray(alignment, np.float32)
+    coverage = float((alignment.max(axis=1)
+                      > coverage_threshold).mean())
+    focus = float(alignment.max(axis=0).mean())
+    path = alignment.argmax(axis=0)
+    monotonicity = (1.0 if len(path) < 2 else
+                    float((np.diff(path) >= -2).mean()))
+    return {
+        "ok": bool(coverage >= min_coverage and focus >= min_focus
+                   and monotonicity >= min_monotonicity),
+        "coverage": coverage,
+        "focus": focus,
+        "monotonicity": monotonicity,
+    }
+
+
 def make_sharded_synthesis(config: Config, plan, max_steps: int):
     """Mesh-sharded batched synthesis: greedy decode + on-chip Griffin-Lim,
     batch sharded over the ``data`` axis, params replicated.
@@ -465,6 +504,44 @@ class Synthesizer:
         # you need the spectrograms.
         return {"wavs": wavs, "alignments": aligns, "linear": specs,
                 "sequences": list(sequences)}
+
+    def synthesize_robust(self, texts: Optional[Sequence[str]] = None,
+                          sequences: Optional[Sequence[Sequence[int]]] = None,
+                          speaker_ids: Optional[Sequence[int]] = None,
+                          retry_mode: int = 1,
+                          health_kwargs: Optional[Dict] = None,
+                          **kwargs) -> Dict[str, List]:
+        """:meth:`synthesize` + per-utterance attention health check +
+        automatic retry of failed utterances with post-hoc manual attention
+        (``manual_attention_mode=retry_mode``: 1 = argmax one-hot,
+        2 = sharpen).
+
+        Adds ``attention_health`` (list of :func:`attention_health` dicts,
+        evaluated on the FIRST pass) and ``retried`` (indices re-decoded)
+        to the result.  ``retry_mode=0`` diagnoses without retrying.
+        Alignments are required for the diagnosis, so
+        ``return_alignments`` is forced on.
+        """
+        kwargs.pop("return_alignments", None)
+        res = self.synthesize(texts=texts, sequences=sequences,
+                              speaker_ids=speaker_ids,
+                              return_alignments=True, **kwargs)
+        health = [attention_health(al, **(health_kwargs or {}))
+                  for al in res["alignments"]]
+        res["attention_health"] = health
+        bad = [i for i, h in enumerate(health) if not h["ok"]]
+        res["retried"] = bad if retry_mode else []
+        if bad and retry_mode:
+            retry = self.synthesize(
+                sequences=[res["sequences"][i] for i in bad],
+                speaker_ids=(None if speaker_ids is None
+                             else [speaker_ids[i] for i in bad]),
+                manual_attention_mode=retry_mode,
+                return_alignments=True, **kwargs)
+            for j, i in enumerate(bad):
+                res["wavs"][i] = retry["wavs"][j]
+                res["alignments"][i] = retry["alignments"][j]
+        return res
 
     # ------------------------------------------------------------- save
 

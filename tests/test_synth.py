@@ -159,6 +159,64 @@ def test_synthesizer_fused_chip_path():
     assert out["linear"] is None  # spectrograms stay on device (documented)
 
 
+def test_attention_health_metrics():
+    """Diagonal attention is healthy; collapsed / diffuse / backwards
+    attention each trip their respective metric."""
+    from tacotron_tpu.synth import attention_health
+
+    T_in, T_dec = 20, 40
+    # clean diagonal sweep: every token covered, sharp, monotonic
+    diag = np.zeros((T_in, T_dec), np.float32)
+    diag[np.minimum(np.arange(T_dec) // 2, T_in - 1),
+         np.arange(T_dec)] = 1.0
+    h = attention_health(diag)
+    assert h["ok"] and h["coverage"] == 1.0 and h["monotonicity"] == 1.0
+
+    # collapsed: all steps attend token 3 — coverage fails
+    col = np.zeros((T_in, T_dec), np.float32)
+    col[3, :] = 1.0
+    h = attention_health(col)
+    assert not h["ok"] and h["coverage"] < 0.3
+
+    # diffuse: uniform attention — focus fails
+    h = attention_health(np.full((T_in, T_dec), 1.0 / T_in, np.float32))
+    assert not h["ok"] and h["focus"] < 0.25
+
+    # backwards: argmax path jumps around — monotonicity fails
+    rng = np.random.default_rng(0)
+    jumpy = np.zeros((T_in, T_dec), np.float32)
+    jumpy[rng.integers(0, T_in, T_dec), np.arange(T_dec)] = 1.0
+    assert attention_health(jumpy)["monotonicity"] < 0.9
+
+
+def test_synthesize_robust_retries_failed_attention():
+    """synthesize_robust diagnoses every utterance and re-decodes the
+    failed ones with post-hoc manual attention, preserving shapes."""
+    cfg = Config().replace(model=ModelConfig(max_iters=6))
+    synth = Synthesizer().init_random(cfg)
+    texts = ["안녕하세요", "반갑습니다 여러분"]
+    res = synth.synthesize_robust(texts=texts, max_steps=6,
+                                  attention_trim=False, librosa_trim=False,
+                                  retry_mode=1)
+    assert len(res["attention_health"]) == 2
+    assert {"ok", "coverage", "focus", "monotonicity"} <= \
+        res["attention_health"][0].keys()
+    # a random-init model fails the health check -> everything retried
+    assert res["retried"] == [i for i, h in
+                              enumerate(res["attention_health"])
+                              if not h["ok"]]
+    assert len(res["wavs"]) == 2
+    for wav, align, seq in zip(res["wavs"], res["alignments"],
+                               res["sequences"]):
+        assert wav.ndim == 1 and np.isfinite(wav).all()
+        assert align.shape[0] == len(seq)
+    # diagnose-only mode leaves everything alone
+    res0 = synth.synthesize_robust(texts=texts, max_steps=6,
+                                   attention_trim=False, librosa_trim=False,
+                                   retry_mode=0)
+    assert res0["retried"] == []
+
+
 def test_synthesizer_serving_options(tmp_path):
     """return_alignments=False skips the alignment fetch; fast_vocoder=True
     swaps in momentum Griffin-Lim — wavs stay finite, same trimmed shapes,
