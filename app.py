@@ -36,9 +36,11 @@ class SynthWorker:
     thread consumes synthesis jobs from this queue.
     """
 
-    def __init__(self, synth: Synthesizer, fast_vocoder: bool = True):
+    def __init__(self, synth: Synthesizer, fast_vocoder: bool = True,
+                 attention_retry: int = 0):
         self.synth = synth
         self.fast_vocoder = fast_vocoder
+        self.attention_retry = attention_retry
         self.jobs: "queue.Queue" = queue.Queue()
 
     def submit(self, text: str, speaker: int, timeout: float = 900.0):
@@ -47,10 +49,17 @@ class SynthWorker:
 
         def job():
             try:
-                box["result"] = self.synth.synthesize(
-                    texts=[text], speaker_ids=[speaker],
-                    attention_trim=True, librosa_trim=True,
-                    fast_vocoder=self.fast_vocoder)
+                if self.attention_retry:
+                    box["result"] = self.synth.synthesize_robust(
+                        texts=[text], speaker_ids=[speaker],
+                        attention_trim=True, librosa_trim=True,
+                        fast_vocoder=self.fast_vocoder,
+                        retry_mode=self.attention_retry)
+                else:
+                    box["result"] = self.synth.synthesize(
+                        texts=[text], speaker_ids=[speaker],
+                        attention_trim=True, librosa_trim=True,
+                        fast_vocoder=self.fast_vocoder)
             except Exception as e:
                 box["error"] = e
             finally:
@@ -209,6 +218,11 @@ def main(argv=None) -> None:
     parser.add_argument("--classic_vocoder", action="store_true",
                         help="reference-parity 60-iteration Griffin-Lim "
                              "instead of the fast momentum preset")
+    parser.add_argument("--attention_retry", type=int, default=0,
+                        choices=[0, 1, 2],
+                        help="re-decode utterances that fail the attention "
+                             "health check with post-hoc manual attention "
+                             "of this mode (0=off)")
     args = parser.parse_args(argv)
 
     import tacotron_tpu
@@ -224,7 +238,8 @@ def main(argv=None) -> None:
         synth.load(args.load_path)
         model_name = os.path.basename(os.path.normpath(args.load_path))
 
-    worker = SynthWorker(synth, fast_vocoder=not args.classic_vocoder)
+    worker = SynthWorker(synth, fast_vocoder=not args.classic_vocoder,
+                         attention_retry=args.attention_retry)
     server = ThreadingHTTPServer(
         ("0.0.0.0", args.port),
         make_handler(worker, args.cache_dir, model_name))
