@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import re
 from typing import Any, Tuple
 
 
@@ -213,7 +214,13 @@ class Config:
 
     @classmethod
     def from_json(cls, text: str) -> "Config":
-        raw = json.loads(text)
+        try:
+            raw = json.loads(text)
+        except json.JSONDecodeError:
+            # hand-edited configs commonly carry trailing commas; the
+            # reference's hparams loader tolerated them
+            # (utils/__init__.py:83-126) — so do we
+            raw = json.loads(re.sub(r",(\s*[}\]])", r"\1", text))
         return cls.from_dict(raw)
 
     @classmethod

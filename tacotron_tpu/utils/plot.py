@@ -17,6 +17,27 @@ import matplotlib.pyplot as plt  # noqa: E402
 from ..text import sequence_to_text  # noqa: E402
 
 
+_KOREAN_FONT: Optional[str] = None
+
+
+def _korean_font() -> Optional[str]:
+    """Best available Hangul-capable font family, or None.
+
+    The reference ships NanumBarunGothic.ttf; here we pick up whatever CJK
+    font the host has (Noto/Nanum/Malgun are common) so tick labels render
+    as Hangul rather than tofu boxes where possible — and degrade silently
+    where not (this dev image only has DejaVu)."""
+    global _KOREAN_FONT
+    if _KOREAN_FONT is None:
+        from matplotlib import font_manager
+        names = {f.name for f in font_manager.fontManager.ttflist}
+        _KOREAN_FONT = next(
+            (n for n in names if any(k in n.lower() for k in
+                                     ("cjk", "nanum", "malgun", "gothic",
+                                      "batang", "gulim"))), "")
+    return _KOREAN_FONT or None
+
+
 def plot_alignment(alignment: np.ndarray, path: str,
                    info: Optional[str] = None,
                    token_ids: Optional[Sequence[int]] = None,
@@ -36,15 +57,16 @@ def plot_alignment(alignment: np.ndarray, path: str,
                                 combine_jamo=False)
         chars = list(text)[:alignment.shape[0]]
         ax.set_xticks(range(len(chars)))
-        ax.set_xticklabels(chars, fontsize=6)
+        ax.set_xticklabels(chars, fontsize=6,
+                           fontfamily=_korean_font() or "sans-serif")
 
     ax.set_xlabel("Encoder timestep" + (f"\n\n{info}" if info else ""))
     ax.set_ylabel("Decoder timestep")
-    plt.tight_layout()
-    # DejaVu has no Hangul glyphs; the ticks degrade to boxes, which is fine
-    # for a diagnostic heatmap — don't spam warnings about it.
+    # Without a Hangul-capable font the ticks degrade to boxes, which is
+    # fine for a diagnostic heatmap — don't spam warnings about it.
     import warnings
     with warnings.catch_warnings():
         warnings.filterwarnings("ignore", message="Glyph .* missing")
+        plt.tight_layout()
         plt.savefig(path, format="png", dpi=120)
     plt.close(fig)
