@@ -43,6 +43,13 @@ class AudioConfig:
     # kernel; "matmul_split" factorizes the DFT into two VMEM-sized stages
     # (Cooley-Tukey) — both measured parity-not-win, see dsp/chip.py.
     griffin_lim_impl: str = "matmul_half"
+    # Overlap-add implementation inside the Griffin-Lim loop: "pallas"
+    # (fused single-kernel OLA, ops/pallas/ola.py — keeps the windowed
+    # frames / chunk tensor / shifted copies in VMEM instead of HBM;
+    # measured +19% whole-loop at batch 32), "xla" (shifted-add
+    # formulation), or "auto" (default: pallas on TPU, xla elsewhere —
+    # interpret-mode pallas on CPU is needlessly slow for tests).
+    ola_impl: str = "auto"
     # Fast Griffin-Lim (Perraudin et al. 2013) momentum: y' = t + a*(t - t_prev)
     # where t is the plain GL update.  0.0 (default) = classic Griffin-Lim,
     # exact reference parity.  At 0.99, ~30 iterations match the spectral

@@ -328,7 +328,14 @@ def _griffin_lim_half_batched(magnitude: jnp.ndarray, num_samples: int,
 
     mag = magnitude.reshape(B * n_frames, -1)
     mag_e, mag_o = mag[:, 0::2], mag[:, 1::2]  # once, outside the loop
-    ola = jax.vmap(lambda fr: overlap_add(fr, num_samples, config))
+    use_pallas_ola = (config.ola_impl == "pallas"
+                      or (config.ola_impl == "auto"
+                          and jax.default_backend() != "cpu"))
+    if use_pallas_ola:
+        from ..ops.pallas.ola import overlap_add_batched
+        ola = lambda fr: overlap_add_batched(fr, num_samples, config)  # noqa: E731
+    else:
+        ola = jax.vmap(lambda fr: overlap_add(fr, num_samples, config))
     framer = jax.vmap(lambda y: frame_signal(y, config))
 
     frames0 = _dif_irfft(mag_e, jnp.zeros_like(mag_e),

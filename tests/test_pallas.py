@@ -83,3 +83,45 @@ def test_griffin_lim_spectral_step_matches_reference():
     want = np.asarray(spectral_step_reference(frames, mag, n_fft))
     scale = np.abs(want).max()
     np.testing.assert_allclose(got / scale, want / scale, atol=2e-3)
+
+
+def test_pallas_overlap_add_matches_xla():
+    """Fused OLA kernel (interpret mode) equals the XLA shifted-add
+    formulation bit-for-bit in f32, including edge tiles and the
+    short-stack fallback."""
+    from tacotron_tpu.config import AudioConfig
+    from tacotron_tpu.dsp.chip import overlap_add
+    from tacotron_tpu.ops.pallas.ola import overlap_add_batched
+
+    cfg = AudioConfig()
+    rng = np.random.default_rng(0)
+    for B, T, bt in [(3, 25, 8), (2, 90, 16), (1, 12, 8)]:  # last: fallback
+        num_samples = (T - 1) * cfg.hop_length
+        fr = jnp.asarray(
+            rng.standard_normal((B, T, cfg.n_fft)).astype(np.float32))
+        want = jax.vmap(lambda f: overlap_add(f, num_samples, cfg))(fr)
+        got = overlap_add_batched(fr, num_samples, cfg, block_tile=bt,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-6)
+
+
+def test_griffin_lim_with_pallas_ola_matches_xla_ola():
+    """The half-spectrum GL engine produces equivalent audio with the
+    fused pallas OLA (ola_impl='pallas' forces it on CPU/interpret)."""
+    import dataclasses
+    from tacotron_tpu.config import AudioConfig
+    from tacotron_tpu.dsp import chip
+
+    cfg_x = dataclasses.replace(AudioConfig(), griffin_lim_impl="matmul_half",
+                                ola_impl="xla", griffin_lim_iters=4)
+    cfg_p = dataclasses.replace(cfg_x, ola_impl="pallas")
+    rng = np.random.default_rng(2)
+    n_frames = 80  # >= block_tile + K so the kernel path (not the
+    # short-stack fallback) is exercised through the engine
+    num_samples = (n_frames - 1) * cfg_x.hop_length
+    mag = jnp.asarray(rng.random((1, n_frames, 1025)).astype(np.float32))
+    wx = np.asarray(chip.griffin_lim_batched(mag, num_samples, cfg_x))
+    wp = np.asarray(chip.griffin_lim_batched(mag, num_samples, cfg_p))
+    corr = np.corrcoef(wx.ravel(), wp.ravel())[0, 1]
+    assert corr > 0.999, corr
