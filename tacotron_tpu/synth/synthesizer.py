@@ -191,13 +191,21 @@ def make_sharded_synthesis(config: Config, plan, max_steps: int):
     model = _model_for(config)
     batch_sh = plan.batch()
     repl = plan.replicated()
+    # conservative OLA choice under SPMD: the fused Pallas OLA is validated
+    # single-chip; how the partitioner handles a pallas_call with a
+    # batch-sharded operand is unverifiable without multi-chip hardware,
+    # so the sharded program pins the XLA formulation unless the caller
+    # explicitly forces "pallas"
+    audio_cfg = config.audio
+    if audio_cfg.ola_impl == "auto":
+        audio_cfg = dataclasses.replace(audio_cfg, ola_impl="xla")
 
     def fn(variables, inputs, input_lengths, speaker_id):
         out = model.apply(variables, inputs, input_lengths,
                           speaker_id=speaker_id, train=False,
                           max_steps=max_steps)
         wavs = dsp_chip.batched_linear_to_waveform(out["linear_outputs"],
-                                                   config.audio)
+                                                   audio_cfg)
         return wavs, out["alignments"]
 
     spk_sh = batch_sh if config.model.num_speakers > 1 else None
