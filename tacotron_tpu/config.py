@@ -226,8 +226,12 @@ class Config:
         except json.JSONDecodeError:
             # hand-edited configs commonly carry trailing commas; the
             # reference's hparams loader tolerated them
-            # (utils/__init__.py:83-126) — so do we
-            raw = json.loads(re.sub(r",(\s*[}\]])", r"\1", text))
+            # (utils/__init__.py:83-126) — so do we.  String literals are
+            # matched first so a ",}" INSIDE a value is never rewritten.
+            stripped = re.sub(
+                r'("(?:[^"\\]|\\.)*")|,(\s*[}\]])',
+                lambda m: m.group(1) or m.group(2), text)
+            raw = json.loads(stripped)
         return cls.from_dict(raw)
 
     @classmethod

@@ -15,6 +15,7 @@ program per (signal_length,) bucket.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Tuple
 
@@ -328,6 +329,9 @@ def _griffin_lim_half_batched(magnitude: jnp.ndarray, num_samples: int,
 
     mag = magnitude.reshape(B * n_frames, -1)
     mag_e, mag_o = mag[:, 0::2], mag[:, 1::2]  # once, outside the loop
+    if config.ola_impl not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown ola_impl {config.ola_impl!r} "
+                         "(expected 'auto', 'pallas' or 'xla')")
     use_pallas_ola = (config.ola_impl == "pallas"
                       or (config.ola_impl == "auto"
                           and jax.default_backend() != "cpu"))
@@ -487,7 +491,12 @@ def griffin_lim_batched(magnitude: jnp.ndarray, num_samples: int,
     if config.griffin_lim_impl == "matmul_split":
         return _griffin_lim_split_batched(magnitude, num_samples, config)
     if config.griffin_lim_impl == "matmul_half":
-        return _griffin_lim_half_batched(magnitude, num_samples, config)
+        if config.n_fft % 4 == 0:
+            return _griffin_lim_half_batched(magnitude, num_samples, config)
+        # DIF stage-1 needs n_fft divisible by 4; odd configs (num_freq
+        # making n_fft = 2 mod 4) get the dense matmul engine instead of
+        # an assertion deep in the jit trace
+        config = dataclasses.replace(config, griffin_lim_impl="matmul_bf16")
     return jax.vmap(lambda m: griffin_lim(m, num_samples, config))(magnitude)
 
 
@@ -510,8 +519,11 @@ def griffin_lim(magnitude: jnp.ndarray, num_samples: int,
         return _griffin_lim_split_batched(magnitude[None], num_samples,
                                           config)[0]
     if config.griffin_lim_impl == "matmul_half":
-        return _griffin_lim_half_batched(magnitude[None], num_samples,
-                                         config)[0]
+        if config.n_fft % 4 == 0:
+            return _griffin_lim_half_batched(magnitude[None], num_samples,
+                                             config)[0]
+        config = dataclasses.replace(config,
+                                     griffin_lim_impl="matmul_bf16")
     if config.griffin_lim_impl == "matmul_bf16":
         return _griffin_lim_matmul(magnitude, num_samples, config)
     if config.griffin_lim_impl != "fft":

@@ -138,8 +138,12 @@ def overlap_add_batched(frames: jnp.ndarray, num_samples: int,
     grid_s = _cdiv(NB, FT)
     # the tiled edge specialization needs full interior row windows:
     # T >= FT + K for the first tile and (S-1)*FT <= T so no interior
-    # tile's window runs past the stack; FT must be sublane-aligned
-    if FT % 8 or grid_s < 2 or T < FT + K or (grid_s - 1) * FT > T:
+    # tile's window runs past the stack; FT must be sublane-aligned and
+    # >= PAD so b0-PAD never goes negative (a negative pl.ds start is
+    # silently clamped, duplicating rows into the window)
+    PAD = -(-(K - 1) // 8) * 8
+    if (FT % 8 or FT < PAD or grid_s < 2 or T < FT + K
+            or (grid_s - 1) * FT > T):
         return jax.vmap(
             lambda f: overlap_add(f, num_samples, config))(frames)
     NBp = grid_s * FT

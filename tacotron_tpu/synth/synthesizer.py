@@ -528,9 +528,18 @@ class Synthesizer:
         evaluated on the FIRST pass) and ``retried`` (indices re-decoded)
         to the result.  ``retry_mode=0`` diagnoses without retrying.
         Alignments are required for the diagnosis, so
-        ``return_alignments`` is forced on.
+        ``return_alignments`` is forced on.  The retry applies
+        :func:`posthoc_attention` to the ALREADY-FETCHED first-pass
+        alignments and re-decodes once with them as manual alignments —
+        not via ``manual_attention_mode`` (which would burn an extra
+        full decode just to recompute the same alignments).
         """
         kwargs.pop("return_alignments", None)
+        if kwargs.get("manual_attention_mode"):
+            raise ValueError(
+                "manual_attention_mode conflicts with synthesize_robust's "
+                "own retry pass; use plain synthesize() for a global "
+                "manual-attention mode")
         res = self.synthesize(texts=texts, sequences=sequences,
                               speaker_ids=speaker_ids,
                               return_alignments=True, **kwargs)
@@ -540,11 +549,17 @@ class Synthesizer:
         bad = [i for i, h in enumerate(health) if not h["ok"]]
         res["retried"] = bad if retry_mode else []
         if bad and retry_mode:
+            bad_aligns = [res["alignments"][i] for i in bad]
+            t_in = max(al.shape[0] for al in bad_aligns)
+            t_dec = max(al.shape[1] for al in bad_aligns)
+            man = np.zeros((len(bad), t_in, t_dec), np.float32)
+            for j, al in enumerate(bad_aligns):
+                man[j, :al.shape[0], :al.shape[1]] = al
             retry = self.synthesize(
                 sequences=[res["sequences"][i] for i in bad],
                 speaker_ids=(None if speaker_ids is None
                              else [speaker_ids[i] for i in bad]),
-                manual_attention_mode=retry_mode,
+                manual_alignments=posthoc_attention(man, retry_mode),
                 return_alignments=True, **kwargs)
             for j, i in enumerate(bad):
                 res["wavs"][i] = retry["wavs"][j]

@@ -30,11 +30,15 @@ def _korean_font() -> Optional[str]:
     global _KOREAN_FONT
     if _KOREAN_FONT is None:
         from matplotlib import font_manager
-        names = {f.name for f in font_manager.fontManager.ttflist}
-        _KOREAN_FONT = next(
-            (n for n in names if any(k in n.lower() for k in
-                                     ("cjk", "nanum", "malgun", "gothic",
-                                      "batang", "gulim"))), "")
+        names = sorted({f.name for f in font_manager.fontManager.ttflist})
+        # priority-ordered, Hangul-specific keywords — a bare "gothic"
+        # would also match Latin-only fonts like URW/Century Gothic
+        _KOREAN_FONT = ""
+        for key in ("cjk kr", "nanum", "malgun", "batang", "gulim", "cjk"):
+            hit = next((n for n in names if key in n.lower()), None)
+            if hit:
+                _KOREAN_FONT = hit
+                break
     return _KOREAN_FONT or None
 
 

@@ -95,7 +95,9 @@ def test_pallas_overlap_add_matches_xla():
 
     cfg = AudioConfig()
     rng = np.random.default_rng(0)
-    for B, T, bt in [(3, 25, 8), (2, 90, 16), (1, 12, 8)]:  # last: fallback
+    # (3,25,8) and (2,112,16) run the kernel (112 satisfies the interior
+    # guard (S-1)*FT <= T); (1,12,8) exercises the short-stack fallback
+    for B, T, bt in [(3, 25, 8), (2, 112, 16), (1, 12, 8)]:
         num_samples = (T - 1) * cfg.hop_length
         fr = jnp.asarray(
             rng.standard_normal((B, T, cfg.n_fft)).astype(np.float32))
