@@ -261,8 +261,9 @@ def main() -> None:
     n_fft = cfg.audio.n_fft
     M, ne, no = n_fft // 2, n_fft // 4 + 1, n_fft // 4
     gl_rows = BATCH * MAX_STEPS * r
-    macs_per_row = (2 * M * ne + 4 * M * no     # forward even/odd bins
-                    + 2 * ne * n_fft + 2 * no * n_fft)  # split-row inverse
+    # u/v half-frame decimation: 2 matmul pairs forward, 2 inverse
+    macs_per_row = (2 * M * ne + 2 * M * no
+                    + 2 * ne * M + 2 * no * M)
     gl_flops = cfg.audio.griffin_lim_iters * gl_rows * 2 * macs_per_row
     v5e_bf16_peak_tflops = 394.0
     achieved_tflops = gl_flops / tpu_time / 1e12  # upper bound: whole

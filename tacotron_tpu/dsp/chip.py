@@ -242,49 +242,50 @@ def _split_ifft_real(xr: jnp.ndarray, xi: jnp.ndarray, n_fft: int,
 
 @functools.lru_cache(maxsize=4)
 def _half_dft_matrices(n_fft: int) -> Tuple[np.ndarray, ...]:
-    """Decimation-in-frequency (stage 1) DFT matrices for "matmul_half".
+    """Half-size decimation matrices for the "matmul_half" engine.
 
     Split the real frame into CONTIGUOUS halves x1, x2 (free slices — no
     relayout; an even/odd de-interleave formulation was measured slower
     than the dense engine because stride-2 relayouts on the lane axis cost
-    more than the saved matmul FLOPs).  Then
+    more than the saved matmul FLOPs).  With u = x1+x2 and v = x1-x2:
 
-        X[2k]   = DFT_M(x1 + x2)[k]
-        X[2k+1] = DFT_M((x1 - x2) * tw)[k],   tw = e^{-2pi i n/N}
+        X[2m]   = sum_n u[n] e^{-2pi i (2m) n / N}   = u @ E
+        X[2p+1] = sum_n v[n] e^{-2pi i (2p+1) n / N} = v @ O
 
-    so the rfft bins arrive as an (even-bins, odd-bins) pair; only the
-    k <= F-1 output columns are materialized (513 even + 512 odd at
-    n_fft = 2048).  Griffin-Lim never needs natural bin order: the target
-    magnitude is split into even/odd bins once outside the loop, and the
-    inverse consumes the split layout directly via the even/odd ROW split
-    of the dense Hermitian-weighted inverse DFT.  Net: ~2.3x fewer MACs
-    than the dense [n_fft, F] pair with zero relayouts.
+    (x2's phase factor e^{-pi i k} is +1 on even bins and -1 on odd bins,
+    so the split IS the twiddle — no explicit twiddle pass, no complex
+    intermediate stream.)  Only bins <= n_fft/2 are materialized: 513
+    even + 512 odd columns at n_fft = 2048.  The inverse decomposes
+    symmetrically: the even-bin part of the length-N inverse is
+    1024-periodic and the odd-bin part antiperiodic, so
 
-    Returns (ce_r, ce_i, co_r, co_i, tw_r, tw_i, ie_r, ie_i, io_r, io_i):
-    forward Xe = (x1+x2) @ Ce, Xo = ((x1-x2)*tw) @ Co; inverse
-    frames = Xe_r@ie_r + Xe_i@ie_i + Xo_r@io_r + Xo_i@io_i."""
+        x[:M] = u' + v',  x[M:] = u' - v'
+
+    with u' = Xe @ IU (Hermitian-weighted half-size inverse) and
+    v' = Xo @ IV — two half-width matmul pairs and one contiguous concat.
+    Total: 4.2M MACs/row at n_fft=2048 vs the dense pair's 16.8M (4x),
+    with zero relayouts.  Griffin-Lim never needs natural bin order: the
+    target magnitude splits into even/odd bins once outside the loop.
+
+    Returns (e_r, e_i, o_r, o_i, iu_r, iu_i, iv_r, iv_i)."""
     assert n_fft % 4 == 0, n_fft
     M = n_fft // 2
-    F = M + 1
-    n_even, n_odd = M // 2 + 1, M // 2
-    jk = np.arange(M)
-    C = np.exp(-2j * np.pi * np.outer(jk, jk) / M)
-    tw = np.exp(-2j * np.pi * np.arange(M) / n_fft)
-    Ce = C[:, :n_even]
-    Co = C[:, :n_odd]
-    # dense Hermitian-weighted inverse, split into even/odd bin rows
-    w = np.full(F, 2.0)
+    n = np.arange(M)[:, None]
+    m = np.arange(M // 2 + 1)[None, :]
+    p = np.arange(M // 2)[None, :]
+    ang_e = 2.0 * np.pi * n * (2 * m) / n_fft
+    ang_o = 2.0 * np.pi * n * (2 * p + 1) / n_fft
+    # inverse: u'[n] = (1/N)[Xe0 + 2 sum Re(Xe e^{+i ang_e}) + ...] with
+    # the DC/Nyquist Hermitian weights; v'[n] = (2/N) sum Re(Xo e^{+i ang_o})
+    w = np.full(M // 2 + 1, 2.0)
     w[0] = w[-1] = 1.0
-    ang2 = 2.0 * np.pi * np.arange(F)[:, None] * np.arange(n_fft)[None, :] \
-        / n_fft
-    ir = w[:, None] * np.cos(ang2) / n_fft
-    ii = w[:, None] * -np.sin(ang2) / n_fft
     f32 = np.float32
-    return (Ce.real.astype(f32), Ce.imag.astype(f32),
-            Co.real.astype(f32), Co.imag.astype(f32),
-            tw.real.astype(f32), tw.imag.astype(f32),
-            ir[0::2].astype(f32), ii[0::2].astype(f32),
-            ir[1::2].astype(f32), ii[1::2].astype(f32))
+    return (np.cos(ang_e).astype(f32), (-np.sin(ang_e)).astype(f32),
+            np.cos(ang_o).astype(f32), (-np.sin(ang_o)).astype(f32),
+            (w * np.cos(ang_e) / n_fft).T.astype(f32),
+            (w * -np.sin(ang_e) / n_fft).T.astype(f32),
+            (2.0 * np.cos(ang_o) / n_fft).T.astype(f32),
+            (2.0 * -np.sin(ang_o) / n_fft).T.astype(f32))
 
 
 def _dif_rfft(frames: jnp.ndarray, n_fft: int,
@@ -293,28 +294,26 @@ def _dif_rfft(frames: jnp.ndarray, n_fft: int,
     Xo_i) with Xe = bins 0,2,..,n_fft/2 and Xo = bins 1,3,..,n_fft/2-1."""
     M = n_fft // 2
     ms = _half_dft_matrices(n_fft)
-    ce_r, ce_i, co_r, co_i = (jnp.asarray(m, dtype) for m in ms[:4])
-    tw_r = jnp.asarray(ms[4])
-    tw_i = jnp.asarray(ms[5])
+    e_r, e_i, o_r, o_i = (jnp.asarray(mat, dtype) for mat in ms[:4])
     x1, x2 = frames[:, :M], frames[:, M:]
     u = (x1 + x2).astype(dtype)
-    v = x1 - x2
-    wr = (v * tw_r).astype(dtype)
-    wi = (v * tw_i).astype(dtype)
-    return ((u @ ce_r).astype(jnp.float32),
-            (u @ ce_i).astype(jnp.float32),
-            (wr @ co_r - wi @ co_i).astype(jnp.float32),
-            (wr @ co_i + wi @ co_r).astype(jnp.float32))
+    v = (x1 - x2).astype(dtype)
+    return ((u @ e_r).astype(jnp.float32),
+            (u @ e_i).astype(jnp.float32),
+            (v @ o_r).astype(jnp.float32),
+            (v @ o_i).astype(jnp.float32))
 
 
 def _dif_irfft(Xe_r, Xe_i, Xo_r, Xo_i, n_fft: int,
                dtype=jnp.bfloat16) -> jnp.ndarray:
     """Split-bin rfft -> real [R, n_fft] frames (natural time order)."""
-    ie_r, ie_i, io_r, io_i = (jnp.asarray(m, dtype)
-                              for m in _half_dft_matrices(n_fft)[6:])
-    return (Xe_r.astype(dtype) @ ie_r + Xe_i.astype(dtype) @ ie_i
-            + Xo_r.astype(dtype) @ io_r
-            + Xo_i.astype(dtype) @ io_i).astype(jnp.float32)
+    iu_r, iu_i, iv_r, iv_i = (jnp.asarray(mat, dtype)
+                              for mat in _half_dft_matrices(n_fft)[4:])
+    u = (Xe_r.astype(dtype) @ iu_r
+         + Xe_i.astype(dtype) @ iu_i).astype(jnp.float32)
+    v = (Xo_r.astype(dtype) @ iv_r
+         + Xo_i.astype(dtype) @ iv_i).astype(jnp.float32)
+    return jnp.concatenate([u + v, u - v], axis=1)
 
 
 def _griffin_lim_half_batched(magnitude: jnp.ndarray, num_samples: int,
