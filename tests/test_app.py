@@ -1,0 +1,167 @@
+"""HTTP-level tests for the synthesis demo server (root ``app.py``).
+
+The server is exercised end to end over a real socket with a fake
+synthesizer (no device work): routing, CORS, input validation, the
+md5(text) wav cache (reference ``/root/reference/app.py:55-84``), static
+asset serving with path-traversal protection, and error surfacing.
+"""
+
+import http.client
+import json
+import os
+import sys
+import threading
+import urllib.parse
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from http.server import ThreadingHTTPServer
+
+import app as app_module
+from tacotron_tpu.config import Config
+
+
+class FakeSynth:
+    """Stands in for synth.Synthesizer: returns a short constant wav."""
+
+    def __init__(self, num_speakers=4, fail=False):
+        import dataclasses
+        cfg = Config()
+        self.config = cfg.replace(
+            model=dataclasses.replace(cfg.model, num_speakers=num_speakers))
+        self.fail = fail
+        self.calls = 0
+
+    def synthesize(self, texts, speaker_ids, **kwargs):
+        self.calls += 1
+        if self.fail:
+            raise RuntimeError("synthetic failure")
+        wav = 0.1 * np.sin(np.linspace(0, 40 * np.pi, 2400)).astype(
+            np.float32)
+        return {"wavs": [wav for _ in texts]}
+
+    synthesize_robust = synthesize
+
+
+@pytest.fixture()
+def server(tmp_path):
+    """A live server on an ephemeral port with a worker thread; yields
+    (host, port, fake_synth)."""
+    fake = FakeSynth()
+    worker = app_module.SynthWorker(fake, fast_vocoder=True)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        app_module.make_handler(worker, str(tmp_path / "cache"), "testmodel"))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    threading.Thread(target=worker.run_forever, daemon=True).start()
+    try:
+        yield ("127.0.0.1", httpd.server_address[1], fake,
+               str(tmp_path / "cache"))
+    finally:
+        httpd.shutdown()
+
+
+def _get(host, port, path):
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    body = resp.read()
+    headers = dict(resp.getheaders())
+    conn.close()
+    return resp.status, headers, body
+
+
+def test_index_and_info_and_health(server):
+    host, port, fake, _ = server
+    status, headers, body = _get(host, port, "/")
+    assert status == 200
+    assert headers["Content-Type"].startswith("text/html")
+    assert b"<html" in body.lower() or b"<!doctype" in body.lower()
+    # CORS on every response (the reference uses flask-cors)
+    assert headers["Access-Control-Allow-Origin"] == "*"
+
+    status, _, body = _get(host, port, "/api/info")
+    info = json.loads(body)
+    assert status == 200
+    assert info["model"] == "testmodel"
+    assert info["num_speakers"] == 4
+    assert info["sample_rate"] == fake.config.audio.sample_rate
+
+    status, _, body = _get(host, port, "/healthz")
+    assert status == 200 and json.loads(body)["ok"] is True
+
+    status, _, _ = _get(host, port, "/nope")
+    assert status == 404
+
+
+def test_generate_validation(server):
+    host, port, _, _ = server
+    status, _, body = _get(host, port, "/generate")
+    assert status == 400 and "text" in json.loads(body)["error"]
+
+    status, _, body = _get(host, port, "/generate?text=hi&speaker_id=abc")
+    assert status == 400 and "integer" in json.loads(body)["error"]
+
+    status, _, body = _get(host, port, "/generate?text=hi&speaker_id=99")
+    assert status == 400 and "out of range" in json.loads(body)["error"]
+
+
+def test_generate_synthesizes_and_caches(server):
+    host, port, fake, cache_dir = server
+    text = "안녕하세요"
+    path = "/generate?" + urllib.parse.urlencode(
+        {"text": text, "speaker_id": 1})
+    status, headers, body = _get(host, port, path)
+    assert status == 200
+    assert headers["Content-Type"] == "audio/wav"
+    assert body[:4] == b"RIFF"
+    assert fake.calls == 1
+
+    # cached by md5(text) per speaker: second request does not synthesize
+    status2, _, body2 = _get(host, port, path)
+    assert status2 == 200 and body2 == body
+    assert fake.calls == 1
+
+    import hashlib
+    digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+    assert os.path.isfile(
+        os.path.join(cache_dir, "testmodel", f"{digest}.1.wav"))
+
+    # a different speaker is a different cache entry
+    status3, _, _ = _get(host, port, "/generate?" + urllib.parse.urlencode(
+        {"text": text, "speaker_id": 0}))
+    assert status3 == 200 and fake.calls == 2
+
+
+def test_generate_error_is_json_500(tmp_path):
+    fake = FakeSynth(fail=True)
+    worker = app_module.SynthWorker(fake)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        app_module.make_handler(worker, str(tmp_path / "c"), "m"))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    threading.Thread(target=worker.run_forever, daemon=True).start()
+    try:
+        status, _, body = _get("127.0.0.1", httpd.server_address[1],
+                               "/generate?text=hi")
+        assert status == 500
+        assert "synthetic failure" in json.loads(body)["error"]
+    finally:
+        httpd.shutdown()
+
+
+def test_static_serving_and_traversal_guard(server):
+    host, port, _, _ = server
+    # the repo ships web/static assets; any one of them must be served
+    status, headers, _ = _get(host, port, "/static/main.js")
+    assert status == 200
+    assert headers["Content-Type"] == "application/javascript"
+
+    # path traversal out of web/ is refused (403 realpath guard or 404
+    # after normalization — never file contents)
+    status, _, body = _get(host, port, "/static/../../etc/passwd")
+    assert status in (403, 404)
+    assert b"root:" not in body
