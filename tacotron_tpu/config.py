@@ -128,6 +128,13 @@ class ModelConfig:
     # flip to bfloat16 to run matmuls on the MXU at twice the throughput.
     compute_dtype: str = "float32"
 
+    # XLA loop unrolling of the time scans (copies of the step body per
+    # loop iteration).  Tacotron steps are small matmuls, so unrolling
+    # amortizes per-iteration loop overhead on TPU at some compile-time
+    # cost; measured step times in scripts/train_profile.py.  1 = off.
+    decoder_unroll: int = 1   # attention-decoder scan
+    rnn_unroll: int = 1       # encoder/post-net BiGRU scans
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:

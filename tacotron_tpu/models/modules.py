@@ -170,6 +170,7 @@ class CBHG(nn.Module):
     proj_sizes: Sequence[int]
     proj_width: int
     param_dtype: jnp.dtype = jnp.float32
+    unroll: int = 1  # XLA unroll of the BiGRU time scans
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: Optional[jnp.ndarray],
@@ -208,8 +209,8 @@ class CBHG(nn.Module):
             highway_input = HighwayNet(
                 self.param_dtype, name=f"highway_{idx + 1}")(highway_input)
 
-        return BiGRU(self.rnn_size, self.param_dtype, name="bigru")(
-            highway_input, lengths, rnn_init_state)
+        return BiGRU(self.rnn_size, self.param_dtype, unroll=self.unroll,
+                     name="bigru")(highway_input, lengths, rnn_init_state)
 
 
 class SpeakerEmbedding(nn.Module):

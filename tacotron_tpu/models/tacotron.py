@@ -209,7 +209,7 @@ class Tacotron(nn.Module):
         return CBHG(
             cfg.enc_bank_size, cfg.enc_bank_channel_size, cfg.enc_maxpool_width,
             cfg.enc_highway_depth, cfg.enc_rnn_size, cfg.enc_proj_sizes,
-            cfg.enc_proj_width, name="encoder_cbhg")(
+            cfg.enc_proj_width, unroll=cfg.rnn_unroll, name="encoder_cbhg")(
                 pre, input_lengths, train,
                 before_highway=cond.before_highway,
                 rnn_init_state=cond.encoder_rnn_init)
@@ -268,7 +268,7 @@ class Tacotron(nn.Module):
             DecoderStep,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
-            in_axes=1, out_axes=1)
+            in_axes=1, out_axes=1, unroll=cfg.decoder_unroll)
         step = scan(cfg, greedy=greedy, train=train, name="decoder")
         _, (frames, align_history) = step(carry, xs)
         return frames, align_history
@@ -319,7 +319,7 @@ class Tacotron(nn.Module):
         post = CBHG(
             cfg.post_bank_size, cfg.post_bank_channel_size,
             cfg.post_maxpool_width, cfg.post_highway_depth, cfg.post_rnn_size,
-            cfg.post_proj_sizes, cfg.post_proj_width,
+            cfg.post_proj_sizes, cfg.post_proj_width, unroll=cfg.rnn_unroll,
             name="post_cbhg")(mel_outputs, None, train)
         if cfg.model_type == "simple" and cfg.num_speakers > 1:
             tiled = jnp.broadcast_to(

@@ -45,18 +45,21 @@ class GRUCell(nn.Module):
 
 
 def _masked_scan(cell: nn.Module, init: jnp.ndarray, xs: jnp.ndarray,
-                 lengths: Optional[jnp.ndarray]) -> jnp.ndarray:
+                 lengths: Optional[jnp.ndarray],
+                 unroll: int = 1) -> jnp.ndarray:
     """Scan ``cell`` over time (axis 1 of xs) with sequence-length masking.
 
     Matches ``dynamic_rnn(sequence_length=...)`` semantics: beyond a
     sequence's length the carry is held and the emitted output is zero.
-    Returns outputs [N, T, H].
+    Returns outputs [N, T, H].  ``unroll`` copies of the step body are
+    emitted per XLA loop iteration — Tacotron-size GRU steps are small
+    matmuls, so >1 amortizes per-iteration loop overhead on TPU.
     """
     scan = nn.scan(
         lambda c, carry, x_t: c(carry, x_t),
         variable_broadcast="params",
         split_rngs={"params": False},
-        in_axes=1, out_axes=1)
+        in_axes=1, out_axes=1, unroll=unroll)
 
     if lengths is None:
         _, ys = scan(cell, init, xs)
@@ -75,7 +78,7 @@ def _masked_scan(cell: nn.Module, init: jnp.ndarray, xs: jnp.ndarray,
         step,
         variable_broadcast="params",
         split_rngs={"params": False},
-        in_axes=1, out_axes=1)
+        in_axes=1, out_axes=1, unroll=unroll)
     _, ys = scan_masked(cell, init, (xs, mask))
     return ys
 
@@ -105,6 +108,7 @@ class BiGRU(nn.Module):
 
     features: int
     param_dtype: jnp.dtype = jnp.float32
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray,
@@ -120,15 +124,18 @@ class BiGRU(nn.Module):
         fw_cell = GRUCell(self.features, self.param_dtype, name="fw")
         bw_cell = GRUCell(self.features, self.param_dtype, name="bw")
 
-        ys_fw = _masked_scan(fw_cell, init_fw, xs, lengths)
+        ys_fw = _masked_scan(fw_cell, init_fw, xs, lengths,
+                             unroll=self.unroll)
 
         if lengths is None:
             xs_rev = jnp.flip(xs, axis=1)
-            ys_bw = jnp.flip(_masked_scan(bw_cell, init_bw, xs_rev, None),
+            ys_bw = jnp.flip(_masked_scan(bw_cell, init_bw, xs_rev, None,
+                                          unroll=self.unroll),
                              axis=1)
         else:
             xs_rev = _reverse_sequence(xs, lengths)
             ys_bw = _reverse_sequence(
-                _masked_scan(bw_cell, init_bw, xs_rev, lengths), lengths)
+                _masked_scan(bw_cell, init_bw, xs_rev, lengths,
+                             unroll=self.unroll), lengths)
 
         return jnp.concatenate([ys_fw, ys_bw], axis=-1)

@@ -167,3 +167,29 @@ def test_manual_alignment_override():
         manual_alignments=manual, is_manual=jnp.array(False))
     assert not np.allclose(np.asarray(out_auto["alignments"]),
                            np.asarray(jnp.transpose(manual, (0, 2, 1))))
+
+
+def test_scan_unroll_equivalence():
+    """decoder_unroll/rnn_unroll are pure schedule knobs: teacher-forced and
+    greedy outputs match unroll=1 to float tolerance (XLA emits the same
+    step ops, just more copies per loop iteration)."""
+    cfg1 = ModelConfig(max_iters=5)
+    cfg4 = ModelConfig(max_iters=5, decoder_unroll=4, rnn_unroll=4)
+    inputs, lengths, mels = _data()
+    variables = Tacotron(cfg1).init(
+        {"params": RNG, "dropout": RNG}, inputs, lengths, mel_targets=mels,
+        train=False)
+    o1 = Tacotron(cfg1).apply(variables, inputs, lengths, mel_targets=mels,
+                              train=False)
+    o4 = Tacotron(cfg4).apply(variables, inputs, lengths, mel_targets=mels,
+                              train=False)
+    np.testing.assert_allclose(np.asarray(o1["linear_outputs"]),
+                               np.asarray(o4["linear_outputs"]),
+                               rtol=2e-5, atol=2e-6)
+    g1 = Tacotron(cfg1).apply(variables, inputs, lengths, train=False,
+                              max_steps=5)
+    g4 = Tacotron(cfg4).apply(variables, inputs, lengths, train=False,
+                              max_steps=5)
+    np.testing.assert_allclose(np.asarray(g1["linear_outputs"]),
+                               np.asarray(g4["linear_outputs"]),
+                               rtol=2e-5, atol=2e-6)
