@@ -185,14 +185,19 @@ def main() -> None:
     host_time_one = time.perf_counter() - t0
     host_throughput = (MAX_STEPS * r * hop_s) / host_time_one
 
-    # ---- secondary metric: teacher-forced training frames/sec/chip
+    # ---- secondary metric: teacher-forced training frames/sec/chip.
+    # The training config gets the TPU-tuned scan unrolling train.py
+    # applies by default (pure schedule knob, outputs identical —
+    # tests/test_model.py::test_scan_unroll_equivalence).
+    from tacotron_tpu.config import tune_scan_unroll
     from tacotron_tpu.train import (Batch, create_train_state, make_optimizer,
                                     make_train_step)
     T_OUT = 192
     NB = TRAIN_BATCH
-    opt = make_optimizer(cfg.train)
-    state = create_train_state(cfg, jax.random.PRNGKey(0), opt)
-    tstep = make_train_step(cfg)
+    train_cfg = tune_scan_unroll(cfg)
+    opt = make_optimizer(train_cfg.train)
+    state = create_train_state(train_cfg, jax.random.PRNGKey(0), opt)
+    tstep = make_train_step(train_cfg)
     rng_np = np.random.default_rng(0)
     tb = Batch(
         inputs=jnp.asarray(inputs[:NB]),
@@ -238,8 +243,8 @@ def main() -> None:
     # bf16 compute path (params/optimizer stay f32): the recommended TPU
     # training setting — convergence equivalent, measured faster once the
     # loop is not sync-bound (docs/BF16_STUDY.md)
-    cfg_bf16 = cfg.replace(model=dataclasses.replace(
-        cfg.model, compute_dtype="bfloat16"))
+    cfg_bf16 = train_cfg.replace(model=dataclasses.replace(
+        train_cfg.model, compute_dtype="bfloat16"))
     state_bf16 = create_train_state(cfg_bf16, jax.random.PRNGKey(0), opt)
     tstep_bf16 = make_train_step(cfg_bf16)
     bf16_box = [state_bf16]
@@ -313,6 +318,8 @@ def main() -> None:
             "training_synced_step_seconds": round(train_time, 4),
             "training_synced_step_seconds_p10_p90": [round(train_p10, 4),
                                                      round(train_p90, 4)],
+            "training_scan_unroll": [train_cfg.model.decoder_unroll,
+                                     train_cfg.model.rnn_unroll],
             "training_note": "frames_per_s is steady-state (20-step chain, "
                              "single end sync — how train/driver.py runs); "
                              "synced_* pays the tunneled-backend round trip "

@@ -25,9 +25,10 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from .config import (AudioConfig, Config, DataConfig, MeshConfig, ModelConfig,
-                     TrainConfig, load_config, save_config)
+                     TrainConfig, load_config, save_config, tune_scan_unroll)
 
 __all__ = [
     "AudioConfig", "Config", "DataConfig", "MeshConfig", "ModelConfig",
-    "TrainConfig", "load_config", "save_config", "__version__",
+    "TrainConfig", "load_config", "save_config", "tune_scan_unroll",
+    "__version__",
 ]

@@ -54,3 +54,23 @@ def test_debug_string_sorted():
     lines = [l.strip() for l in s.splitlines()[1:]]
     assert lines == sorted(lines)
     assert any("model.embedding_size: 256" in l for l in lines)
+
+
+def test_tune_scan_unroll():
+    """TPU-tuned unrolls apply only on tpu and only over default values."""
+    import dataclasses
+    from tacotron_tpu.config import Config, tune_scan_unroll
+
+    cfg = Config()
+    tuned = tune_scan_unroll(cfg, platform="tpu")
+    assert tuned.model.decoder_unroll == 8 and tuned.model.rnn_unroll == 8
+    # non-TPU platforms: untouched
+    cpu = tune_scan_unroll(cfg, platform="cpu")
+    assert cpu.model.decoder_unroll == 1 and cpu.model.rnn_unroll == 1
+    # explicit user values are respected even on tpu
+    manual = cfg.replace(model=dataclasses.replace(cfg.model, rnn_unroll=2))
+    kept = tune_scan_unroll(manual, platform="tpu")
+    assert kept.model.decoder_unroll == 1 and kept.model.rnn_unroll == 2
+    # platform=None resolves via jax (cpu in tests) without error
+    auto = tune_scan_unroll(cfg)
+    assert auto.model.rnn_unroll in (1, 8)
