@@ -223,6 +223,10 @@ def main(argv=None) -> None:
                         help="re-decode utterances that fail the attention "
                              "health check with post-hoc manual attention "
                              "of this mode (0=off)")
+    parser.add_argument("--prewarm", action="store_true",
+                        help="compile the serving programs (token buckets "
+                             "32/64/96, batch 1) before accepting requests "
+                             "so no user pays XLA compile latency")
     args = parser.parse_args(argv)
 
     import tacotron_tpu
@@ -237,6 +241,14 @@ def main(argv=None) -> None:
     else:
         synth.load(args.load_path)
         model_name = os.path.basename(os.path.normpath(args.load_path))
+
+    if args.prewarm:
+        import time as _time
+        t0 = _time.perf_counter()
+        n = synth.prewarm(token_buckets=(32, 64, 96),
+                          fast_vocoder=not args.classic_vocoder)
+        print(f"[*] prewarmed {n} serving programs "
+              f"in {_time.perf_counter() - t0:.1f}s")
 
     worker = SynthWorker(synth, fast_vocoder=not args.classic_vocoder,
                          attention_retry=args.attention_retry)

@@ -339,6 +339,41 @@ class Synthesizer:
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
 
+    # -------------------------------------------------------------- prewarm
+
+    def prewarm(self, token_buckets: Sequence[int] = (32, 64),
+                batch_sizes: Sequence[int] = (1,),
+                max_steps: Optional[int] = None,
+                attention_trim: bool = True,
+                fast_vocoder: bool = True) -> int:
+        """Compile the fused serving programs ahead of the first request.
+
+        The first request at a new (token-bucket, chunk-size) shape pays
+        20–40 s of XLA compilation (the persistent compilation cache only
+        helps across restarts, not the first run ever).  A server calls
+        this at startup so user-facing latency is always the execute cost.
+        Mirrors the trainer's ``--prewarm`` bucket-ladder pass
+        (train/driver.py).
+
+        Returns the number of programs executed (compiled or cache-hit).
+        """
+        assert self.variables is not None, "call load() or init_random()"
+        steps = max_steps or self.config.model.max_iters
+        spk_on = self.config.model.num_speakers > 1
+        n = 0
+        for bucket in token_buckets:
+            fn = self._fused(bucket, steps, manual=False,
+                             trim=attention_trim, fast=fast_vocoder)
+            for nb in batch_sizes:
+                inputs = jnp.zeros((nb, bucket), jnp.int32)
+                lengths = jnp.ones((nb,), jnp.int32)
+                spk = jnp.zeros((nb,), jnp.int32) if spk_on else None
+                packed, _ = fn(self.variables, inputs, lengths, spk,
+                               None, jnp.asarray(False))
+                jax.block_until_ready(packed)
+                n += 1
+        return n
+
     # ----------------------------------------------------------- synthesize
 
     def synthesize(self, texts: Optional[Sequence[str]] = None,

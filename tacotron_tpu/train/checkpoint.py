@@ -33,7 +33,8 @@ class CheckpointManager:
     """Thin wrapper over ocp.CheckpointManager bound to a run directory."""
 
     def __init__(self, run_dir: str, config: Config,
-                 max_to_keep: Optional[int] = None):
+                 max_to_keep: Optional[int] = None,
+                 async_save: bool = True):
         self.run_dir = os.path.abspath(run_dir)
         os.makedirs(self.run_dir, exist_ok=True)
         self.config = config
@@ -44,31 +45,47 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(
             os.path.join(self.run_dir, "checkpoints"),
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=keep, create=True, enable_async_checkpointing=False),
+                max_to_keep=keep, create=True,
+                enable_async_checkpointing=async_save),
         )
 
     # ------------------------------------------------------------------ save
 
     def save(self, state: TrainState) -> None:
+        """Persist ``state`` (async by default).
+
+        With ``async_save`` the call blocks only for the device->host copy
+        (Orbax's async contract); serialization to disk continues on a
+        background thread, so the train loop does not stall on storage.
+        The copy-before-return also makes it safe for the caller to feed
+        ``state`` straight back into a ``donate_argnums`` step function.
+        ``restore``/``latest_step``/``close`` barrier on pending writes.
+        """
         step = int(state.step)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self) -> None:
+        """Block until all pending async saves are durable on disk."""
         self._mgr.wait_until_finished()
 
     # --------------------------------------------------------------- restore
 
     @property
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, template: TrainState,
                 step: Optional[int] = None) -> TrainState:
         """Resume mode: full state including step."""
+        self._mgr.wait_until_finished()
         step = self.latest_step if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.run_dir}")
         return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
 
     def close(self) -> None:
+        # ocp.CheckpointManager.close() waits for pending async saves
         self._mgr.close()
 
 

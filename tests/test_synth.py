@@ -249,3 +249,21 @@ def test_synthesizer_serving_options(tmp_path):
         Synthesizer.VOCODER_MAX_BATCH = old
     for wa, wb in zip(base["wavs"], two["wavs"]):
         np.testing.assert_allclose(wa, wb, atol=1e-4)
+
+
+def test_prewarm_compiles_serving_programs():
+    """prewarm() populates the fused-program cache so the first real
+    request hits a compiled program (app.py --prewarm)."""
+    cfg = Config().replace(model=ModelConfig(max_iters=4))
+    synth = Synthesizer().init_random(cfg)
+    n = synth.prewarm(token_buckets=(32,), batch_sizes=(1,),
+                      max_steps=4, fast_vocoder=False)
+    assert n == 1
+    key = ("fused", 32, 4, 0, 1, 0)
+    assert key in synth._compiled
+    before = dict(synth._compiled)
+    out = synth.synthesize(texts=["안녕하세요"], max_steps=4,
+                           librosa_trim=False)
+    assert np.isfinite(out["wavs"][0]).all()
+    # the request reused the prewarmed program — no new fused key appeared
+    assert [k for k in synth._compiled if k not in before] == []

@@ -248,3 +248,30 @@ def test_checkpoint_resume_and_warm_start(tmp_path):
         np.asarray(jax.tree.leaves(state.params)[0]),
         np.asarray(jax.tree.leaves(ws.params)[0]))
     assert load_run_config(run_dir).train.batch_size == cfg.train.batch_size
+
+
+def test_async_checkpoint_save_is_donation_safe(tmp_path):
+    """Async saves copy device->host before returning, so feeding the just-
+    saved state straight into the donating train step must not corrupt the
+    checkpoint (train/driver.py runs exactly this sequence)."""
+    cfg = Config()
+    opt = make_optimizer(cfg.train)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), opt)
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+    before = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+
+    mgr = CheckpointManager(str(tmp_path / "run"), cfg)
+    mgr.save(state)  # async: returns after the device->host copy
+
+    # immediately invalidate the saved buffers via donate_argnums=(0,)
+    step_fn = make_train_step(cfg)
+    new_state, _ = step_fn(state, _toy_batch(N=2, T_in=24, T_out=8),
+                           jax.random.PRNGKey(1))
+    jax.block_until_ready(new_state.params)
+
+    template = create_train_state(cfg, jax.random.PRNGKey(9), opt)
+    restored = mgr.restore(template)
+    mgr.close()
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params)[0]), before)
