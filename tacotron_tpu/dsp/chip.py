@@ -316,6 +316,24 @@ def _dif_irfft(Xe_r, Xe_i, Xo_r, Xo_i, n_fft: int,
     return jnp.concatenate([u + v, u - v], axis=1)
 
 
+def _ola_fn(config: AudioConfig, num_samples: int):
+    """Overlap-add implementation for the batched engines
+    ([B, n_frames, n_fft] frames -> [B, num_samples] signals).
+
+    ``ola_impl="auto"`` picks the fused Pallas kernel on TPU only (the
+    kernel's ``pltpu.VMEM`` BlockSpecs do not lower on other backends)
+    and the XLA formulation elsewhere; explicit "pallas"/"xla" force the
+    choice.  Value validation happens in :func:`griffin_lim_batched`.
+    """
+    use_pallas = (config.ola_impl == "pallas"
+                  or (config.ola_impl == "auto"
+                      and jax.default_backend() == "tpu"))
+    if use_pallas:
+        from ..ops.pallas.ola import overlap_add_batched
+        return lambda fr: overlap_add_batched(fr, num_samples, config)
+    return jax.vmap(lambda fr: overlap_add(fr, num_samples, config))
+
+
 def _griffin_lim_half_batched(magnitude: jnp.ndarray, num_samples: int,
                               config: AudioConfig) -> jnp.ndarray:
     """Batched Griffin-Lim with the DIF half-spectrum engine (impl =
@@ -328,17 +346,7 @@ def _griffin_lim_half_batched(magnitude: jnp.ndarray, num_samples: int,
 
     mag = magnitude.reshape(B * n_frames, -1)
     mag_e, mag_o = mag[:, 0::2], mag[:, 1::2]  # once, outside the loop
-    if config.ola_impl not in ("auto", "pallas", "xla"):
-        raise ValueError(f"unknown ola_impl {config.ola_impl!r} "
-                         "(expected 'auto', 'pallas' or 'xla')")
-    use_pallas_ola = (config.ola_impl == "pallas"
-                      or (config.ola_impl == "auto"
-                          and jax.default_backend() != "cpu"))
-    if use_pallas_ola:
-        from ..ops.pallas.ola import overlap_add_batched
-        ola = lambda fr: overlap_add_batched(fr, num_samples, config)  # noqa: E731
-    else:
-        ola = jax.vmap(lambda fr: overlap_add(fr, num_samples, config))
+    ola = _ola_fn(config, num_samples)
     framer = jax.vmap(lambda y: frame_signal(y, config))
 
     frames0 = _dif_irfft(mag_e, jnp.zeros_like(mag_e),
@@ -375,7 +383,7 @@ def _griffin_lim_split_batched(magnitude: jnp.ndarray, num_samples: int,
 
     mag_full = _mirror_full_spectrum(
         magnitude.reshape(B * n_frames, -1))
-    ola = jax.vmap(lambda fr: overlap_add(fr, num_samples, config))
+    ola = _ola_fn(config, num_samples)
     framer = jax.vmap(lambda y: frame_signal(y, config))
 
     # zero-phase start == irfft(mag): inverse of the (real, Hermitian) mag
@@ -466,7 +474,7 @@ def _griffin_lim_pallas_batched(magnitude: jnp.ndarray, num_samples: int,
     idft_re = jnp.asarray(idft_re, dtype)
 
     mag_rows = magnitude.reshape(B * n_frames, -1)
-    ola = jax.vmap(lambda fr: overlap_add(fr, num_samples, config))
+    ola = _ola_fn(config, num_samples)
     framer = jax.vmap(lambda y: frame_signal(y, config))
 
     # zero-phase start: irfft(mag) == mag @ IDFT_RE (im = 0)
@@ -481,53 +489,10 @@ def _griffin_lim_pallas_batched(magnitude: jnp.ndarray, num_samples: int,
     return _gl_loop(gl_update, y, config)
 
 
-def griffin_lim_batched(magnitude: jnp.ndarray, num_samples: int,
-                        config: AudioConfig) -> jnp.ndarray:
-    """Batched phase reconstruction [B, n_frames, n_freq] -> [B, samples],
-    dispatching on ``config.griffin_lim_impl``."""
-    if config.griffin_lim_impl == "pallas":
-        return _griffin_lim_pallas_batched(magnitude, num_samples, config)
-    if config.griffin_lim_impl == "matmul_split":
-        return _griffin_lim_split_batched(magnitude, num_samples, config)
-    if config.griffin_lim_impl == "matmul_half":
-        if config.n_fft % 4 == 0:
-            return _griffin_lim_half_batched(magnitude, num_samples, config)
-        # DIF stage-1 needs n_fft divisible by 4; odd configs (num_freq
-        # making n_fft = 2 mod 4) get the dense matmul engine instead of
-        # an assertion deep in the jit trace
-        config = dataclasses.replace(config, griffin_lim_impl="matmul_bf16")
-    return jax.vmap(lambda m: griffin_lim(m, num_samples, config))(magnitude)
-
-
-def griffin_lim(magnitude: jnp.ndarray, num_samples: int,
-                config: AudioConfig) -> jnp.ndarray:
-    """Phase reconstruction: magnitude [n_frames, n_freq] -> waveform.
-
-    Deterministic zero-phase start + ``config.griffin_lim_iters`` refinement
-    steps, the whole loop compiled on chip.  Engine selected by
-    ``config.griffin_lim_impl``: "matmul_half" (default, DIF split-bin bf16
-    MXU matmuls — fastest measured), "matmul_bf16" (dense single-stage
-    matmuls), "matmul_split" (two-stage Cooley-Tukey), "pallas" (fused
-    spectral-step kernel — batched path), or "fft" (strict float32 XLA
-    FFTs, parity reference).
-    """
-    if config.griffin_lim_impl == "pallas":
-        return _griffin_lim_pallas_batched(magnitude[None], num_samples,
-                                           config)[0]
-    if config.griffin_lim_impl == "matmul_split":
-        return _griffin_lim_split_batched(magnitude[None], num_samples,
-                                          config)[0]
-    if config.griffin_lim_impl == "matmul_half":
-        if config.n_fft % 4 == 0:
-            return _griffin_lim_half_batched(magnitude[None], num_samples,
-                                             config)[0]
-        config = dataclasses.replace(config,
-                                     griffin_lim_impl="matmul_bf16")
-    if config.griffin_lim_impl == "matmul_bf16":
-        return _griffin_lim_matmul(magnitude, num_samples, config)
-    if config.griffin_lim_impl != "fft":
-        raise ValueError(
-            f"unknown griffin_lim_impl {config.griffin_lim_impl!r}")
+def _griffin_lim_fft(magnitude: jnp.ndarray, num_samples: int,
+                     config: AudioConfig) -> jnp.ndarray:
+    """Strict float32 XLA-FFT Griffin-Lim (single item) — the parity
+    reference engine."""
     S = magnitude.astype(jnp.complex64)
     y = istft(S, num_samples, config)
 
@@ -537,6 +502,59 @@ def griffin_lim(magnitude: jnp.ndarray, num_samples: int,
         return istft(S * angles, num_samples, config)
 
     return _gl_loop(gl_update, y, config)
+
+
+def griffin_lim_batched(magnitude: jnp.ndarray, num_samples: int,
+                        config: AudioConfig) -> jnp.ndarray:
+    """Batched phase reconstruction [B, n_frames, n_freq] -> [B, samples].
+
+    THE engine dispatch (``griffin_lim`` delegates here).  Engines, by
+    ``config.griffin_lim_impl``: "matmul_half" (default, u/v half-frame
+    decimation bf16 MXU matmuls — fastest measured), "matmul_bf16" (dense
+    single-stage matmuls), "matmul_split" (two-stage Cooley-Tukey),
+    "pallas" (fused spectral-step kernel), "fft" (strict float32 XLA FFTs,
+    parity reference).  ``config.ola_impl`` selects the overlap-add for
+    the natively-batched engines (half/split/pallas); the vmapped
+    single-item engines (bf16/fft) cannot fold the batch into the Pallas
+    OLA kernel, so an explicit ``ola_impl="pallas"`` there is an error
+    rather than a silently ignored knob.
+    """
+    if config.ola_impl not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown ola_impl {config.ola_impl!r} "
+                         "(expected 'auto', 'pallas' or 'xla')")
+    impl = config.griffin_lim_impl
+    if impl == "matmul_half" and config.n_fft % 4 != 0:
+        # u/v decimation needs n_fft divisible by 4; odd configs (num_freq
+        # making n_fft = 2 mod 4) get the dense matmul engine instead of
+        # an assertion deep in the jit trace
+        impl = "matmul_bf16"
+    if impl == "pallas":
+        return _griffin_lim_pallas_batched(magnitude, num_samples, config)
+    if impl == "matmul_split":
+        return _griffin_lim_split_batched(magnitude, num_samples, config)
+    if impl == "matmul_half":
+        return _griffin_lim_half_batched(magnitude, num_samples, config)
+    if impl not in ("matmul_bf16", "fft"):
+        raise ValueError(f"unknown griffin_lim_impl {impl!r}")
+    if config.ola_impl == "pallas":
+        raise ValueError(
+            f"ola_impl='pallas' is not supported by the vmapped "
+            f"'{impl}' engine (use matmul_half/matmul_split/pallas, "
+            f"or ola_impl='auto'/'xla')")
+    single = (_griffin_lim_matmul if impl == "matmul_bf16"
+              else _griffin_lim_fft)
+    return jax.vmap(lambda m: single(m, num_samples, config))(magnitude)
+
+
+def griffin_lim(magnitude: jnp.ndarray, num_samples: int,
+                config: AudioConfig) -> jnp.ndarray:
+    """Phase reconstruction: magnitude [n_frames, n_freq] -> waveform.
+
+    Deterministic zero-phase start + ``config.griffin_lim_iters`` refinement
+    steps, the whole loop compiled on chip.  A batch-of-one view of
+    :func:`griffin_lim_batched` — see there for the engine matrix.
+    """
+    return griffin_lim_batched(magnitude[None], num_samples, config)[0]
 
 
 # ------------------------------------------------------------- scaling chain

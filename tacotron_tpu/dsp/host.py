@@ -46,6 +46,31 @@ def save_audio(audio: np.ndarray, path: str, config: AudioConfig,
                   scaled.astype(np.int16))
 
 
+def frame_rms(audio: np.ndarray, frame_length: int,
+              hop_length: int) -> tuple[np.ndarray, np.ndarray]:
+    """Strided frame matrix + per-frame RMS of a 1-D signal.
+
+    Shared by silence trimming (``synth.trim_silence_db``) and the
+    speaker-eval acoustic stats so the framing/RMS conventions cannot
+    drift apart.  Requires ``len(audio) >= frame_length``.
+    Returns ``(frames [n_frames, frame_length], rms [n_frames])``.
+    """
+    n_frames = 1 + (len(audio) - frame_length) // hop_length
+    idx = (np.arange(frame_length)[None, :]
+           + hop_length * np.arange(n_frames)[:, None])
+    frames = audio[idx]
+    return frames, np.sqrt(np.mean(frames ** 2, axis=1))
+
+
+def rms_db_below_peak(rms: np.ndarray) -> np.ndarray | None:
+    """Per-frame level in dB relative to the peak frame RMS (floored at
+    -200 dB); ``None`` for an all-silent signal (peak RMS == 0)."""
+    ref = float(rms.max()) if rms.size else 0.0
+    if ref <= 0:
+        return None
+    return 20.0 * np.log10(np.maximum(rms / ref, 1e-10))
+
+
 def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     gcd = np.gcd(orig_sr, target_sr)
     return sp_signal.resample_poly(

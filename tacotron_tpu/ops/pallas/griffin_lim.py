@@ -85,14 +85,20 @@ def _kernel(frames_ref, mag_ref, dre_ref, dim_ref, ire_ref, iim_ref,
 
 def spectral_step(frames: jnp.ndarray, magnitude: jnp.ndarray,
                   n_fft: int, row_tile: int = 256,
-                  interpret: bool = False) -> jnp.ndarray:
+                  interpret: bool = None) -> jnp.ndarray:
     """Fused Griffin-Lim spectral update.
 
     frames: [rows, n_fft] (any float dtype; cast to bf16 for the MXU).
     magnitude: [rows, F] target magnitudes, F = n_fft//2 + 1.
     Returns new (unwindowed) frames [rows, n_fft] float32, equal to
     ``mag*re/|z| @ IDFT_RE + mag*im/|z| @ IDFT_IM``.
+
+    ``interpret=None`` (default) auto-selects interpret mode on the CPU
+    backend so the ``griffin_lim_impl="pallas"`` engine stays runnable
+    (slowly) in CPU tests — same policy as ``ops.pallas.ola``.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     rows, width = frames.shape
     assert width == n_fft, (frames.shape, n_fft)
     F = n_fft // 2 + 1

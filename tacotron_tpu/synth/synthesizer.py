@@ -105,14 +105,10 @@ def trim_silence_db(audio: np.ndarray, top_db: float = 50.0,
     keeps everything up to the last non-silent sample)."""
     if audio.size < frame_length:
         return audio
-    n_frames = 1 + (len(audio) - frame_length) // hop_length
-    idx = (np.arange(frame_length)[None, :]
-           + hop_length * np.arange(n_frames)[:, None])
-    rms = np.sqrt(np.mean(audio[idx] ** 2, axis=1))
-    ref = rms.max()
-    if ref <= 0:
+    _, rms = dsp_host.frame_rms(audio, frame_length, hop_length)
+    db = dsp_host.rms_db_below_peak(rms)
+    if db is None:
         return audio
-    db = 20.0 * np.log10(np.maximum(rms / ref, 1e-10))
     nonsilent = np.flatnonzero(db > -top_db)
     if nonsilent.size == 0:
         return audio
@@ -324,16 +320,27 @@ class Synthesizer:
                 # output amplitude is unbounded, so a bare *32767 clip would
                 # square-wave any waveform whose peak exceeds 1.0.
                 peak = jnp.max(jnp.abs(wavs), axis=1, keepdims=True)
-                scale = 32767.0 / jnp.maximum(0.01, peak)
-                wav_i16 = jnp.clip(wavs * scale, -32768, 32767).astype(
-                    jnp.int16)
-                # pack ends (frame counts, < 32767) as one extra int16 row so
-                # audio+lengths arrive in ONE host fetch — on tunneled
-                # backends every fetch pays a fixed ~45 ms round trip
+                denom = jnp.maximum(0.01, peak)
+                wav_i16 = jnp.clip(wavs * (32767.0 / denom),
+                                   -32768, 32767).astype(jnp.int16)
+                # pack ends (frame counts, < 32767) plus the per-utterance
+                # normalization denominator (as dB*100, 0.01 dB resolution)
+                # as two extra int16 rows so audio+lengths+scale arrive in
+                # ONE host fetch — on tunneled backends every fetch pays a
+                # fixed ~45 ms round trip.  The host undoes the scaling, so
+                # the chip path returns TRUE amplitudes like the host path
+                # (loudness statistics, e.g. tools/speaker_eval.py, would
+                # otherwise be measured on peak-normalized audio).
                 ends_row = jnp.zeros((1, wav_i16.shape[1]), jnp.int16)
                 ends_row = ends_row.at[0, :ends.shape[0]].set(
                     ends.astype(jnp.int16))
-                packed = jnp.concatenate([wav_i16, ends_row], axis=0)
+                denom_db = 20.0 * jnp.log10(denom[:, 0])
+                denom_row = jnp.zeros((1, wav_i16.shape[1]), jnp.int16)
+                denom_row = denom_row.at[0, :denom_db.shape[0]].set(
+                    jnp.clip(jnp.round(denom_db * 100.0),
+                             -32767, 32767).astype(jnp.int16))
+                packed = jnp.concatenate([wav_i16, ends_row, denom_row],
+                                         axis=0)
                 return packed, aligns
 
             self._compiled[key] = jax.jit(fn)
@@ -391,7 +398,10 @@ class Synthesizer:
                    ) -> Dict[str, List[np.ndarray]]:
         """texts -> waveforms.
 
-        Returns dict with ``wavs`` (list of float32 arrays), ``alignments``
+        Returns dict with ``wavs`` (list of float32 arrays at true
+        Griffin-Lim amplitude — the chip path undoes its internal int16
+        peak normalization, so chip and host vocoders return the same
+        scale), ``alignments``
         (list of [T_in, T_dec]), ``linear`` (list of [T_dec*r, F]) and
         ``sequences``.
 
@@ -507,12 +517,15 @@ class Synthesizer:
                     is_manual)))
             for lo, hi, (packed, al) in pending:
                 packed = np.asarray(packed)
-                wav_i16, ends = packed[:-1], packed[-1]
+                wav_i16, ends, denom_q = packed[:-2], packed[-2], packed[-1]
+                # undo the on-device peak normalization (dB*100 row) so the
+                # chip path returns true amplitudes like the host path
+                denom = 10.0 ** (denom_q.astype(np.float32) / 100.0 / 20.0)
                 al = np.asarray(al) if return_alignments else None
                 for i in range(hi - lo):
                     n_samples = min(wav_i16.shape[1], int(ends[i]) * hop)
                     wavs.append(wav_i16[i, :n_samples].astype(np.float32)
-                                / 32767.0)
+                                * (denom[i] / 32767.0))
                     if al is not None:
                         aligns.append(al[i, :seq_lens[lo + i], :])
         else:

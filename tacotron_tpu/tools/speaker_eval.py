@@ -27,6 +27,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from ..config import Config
+from ..dsp import host as dsp_host
 from ..synth.synthesizer import Synthesizer, attention_health
 from ..text.eval_sentences import EVAL_TEXTS
 
@@ -48,16 +49,11 @@ def acoustic_stats(wav: np.ndarray, sample_rate: int,
     if len(wav) < frame:
         out.update(silence_fraction=0.0, spectral_centroid_hz=0.0)
         return out
-    n_frames = 1 + (len(wav) - frame) // hop
-    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = wav[idx]
-    rms = np.sqrt(np.mean(frames ** 2, axis=1))
+    frames, rms = dsp_host.frame_rms(wav, frame, hop)
     ref = float(rms.max())
-    if ref > 0:
-        db = 20.0 * np.log10(np.maximum(rms / ref, 1e-10))
-        out["silence_fraction"] = float((db < silence_db).mean())
-    else:
-        out["silence_fraction"] = 1.0
+    db = dsp_host.rms_db_below_peak(rms)
+    out["silence_fraction"] = (float((db < silence_db).mean())
+                               if db is not None else 1.0)
     mag = np.abs(np.fft.rfft(frames * np.hanning(frame), axis=1))
     freqs = np.fft.rfftfreq(frame, 1.0 / sample_rate)
     denom = np.maximum(mag.sum(axis=1), 1e-10)
@@ -139,7 +135,6 @@ def evaluate_speakers(synth: Synthesizer,
                 "audio": acoustic_stats(res["wavs"][k], sr),
             })
             if save_dir:
-                from ..dsp import host as dsp_host
                 os.makedirs(save_dir, exist_ok=True)
                 dsp_host.save_audio(
                     res["wavs"][k],

@@ -309,3 +309,42 @@ def test_griffin_lim_matmul_half_engine():
     assert 0.95 < wb.std() / wa.std() < 1.05
     w1 = np.asarray(chip.griffin_lim(mag[0], num_samples, cfg_half))
     np.testing.assert_allclose(w1, wb[0], atol=1e-4)
+
+
+def test_griffin_lim_engine_dispatch_contract():
+    """griffin_lim_batched is THE dispatch (griffin_lim is a batch-of-one
+    view): ola_impl is validated for every engine, the vmapped engines
+    (matmul_bf16/fft) reject an explicit pallas OLA instead of silently
+    ignoring it, and the pallas spectral engine runs on CPU via interpret
+    mode."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    base = dataclasses.replace(FAST, griffin_lim_iters=3)
+    rng = np.random.default_rng(9)
+    n_frames = 6
+    num_samples = (n_frames - 1) * base.hop_length
+    mag = jnp.asarray(rng.random((2, n_frames, base.num_freq), np.float32))
+
+    # bogus ola_impl rejected regardless of engine
+    for impl in ("fft", "matmul_bf16", "matmul_half", "pallas"):
+        cfg = dataclasses.replace(base, griffin_lim_impl=impl,
+                                  ola_impl="warp")
+        with pytest.raises(ValueError, match="ola_impl"):
+            chip.griffin_lim_batched(mag, num_samples, cfg)
+
+    # vmapped engines cannot honor a forced pallas OLA -> loud error
+    for impl in ("fft", "matmul_bf16"):
+        cfg = dataclasses.replace(base, griffin_lim_impl=impl,
+                                  ola_impl="pallas")
+        with pytest.raises(ValueError, match="pallas"):
+            chip.griffin_lim_batched(mag, num_samples, cfg)
+
+    # every engine: finite audio, and single == batched row exactly
+    for impl in ("fft", "matmul_bf16", "matmul_split", "matmul_half",
+                 "pallas"):
+        cfg = dataclasses.replace(base, griffin_lim_impl=impl)
+        wb = np.asarray(chip.griffin_lim_batched(mag, num_samples, cfg))
+        assert np.isfinite(wb).all(), impl
+        w1 = np.asarray(chip.griffin_lim(mag[0], num_samples, cfg))
+        np.testing.assert_array_equal(w1, wb[0], err_msg=impl)

@@ -142,21 +142,31 @@ def test_attention_trim_frames_matches_host():
 
 def test_synthesizer_fused_chip_path():
     """vocode="chip" runs decode+trim+GL as one program and returns trimmed
-    wavs; batch padding rows are discarded."""
+    wavs at TRUE amplitude (the packed int16 peak normalization is undone
+    on the host); batch padding rows are discarded."""
     cfg = Config().replace(model=ModelConfig(max_iters=6))
     synth = Synthesizer().init_random(cfg)
     texts = ["안녕하세요", "반갑습니다 여러분", "좋은 아침입니다"]
     out = synth.synthesize(texts=texts, max_steps=6, vocode="chip",
-                           attention_trim=True, librosa_trim=False)
+                           attention_trim=False, librosa_trim=False)
     assert len(out["wavs"]) == 3
     hop = cfg.audio.hop_length
     for wav, align, seq in zip(out["wavs"], out["alignments"],
                                out["sequences"]):
         assert wav.ndim == 1 and np.isfinite(wav).all()
         assert wav.size % hop == 0 and wav.size >= 4 * hop  # >= r frames
-        assert np.abs(wav).max() <= 1.0  # int16 round trip
         assert align.shape[0] == len(seq)
     assert out["linear"] is None  # spectrograms stay on device (documented)
+
+    # amplitude parity with the host vocoder: same spectrograms, so the
+    # per-utterance peak must match within GL-engine tolerance — loudness
+    # statistics downstream (tools/speaker_eval.py) depend on this
+    host = synth.synthesize(texts=texts, max_steps=6, vocode="host",
+                            attention_trim=False, librosa_trim=False)
+    for wc, wh in zip(out["wavs"], host["wavs"]):
+        pc, ph = np.abs(wc).max(), np.abs(wh).max()
+        assert pc > 0 and ph > 0
+        assert 0.5 < pc / ph < 2.0, (pc, ph)
 
 
 def test_attention_health_metrics():
