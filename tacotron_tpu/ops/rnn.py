@@ -44,45 +44,6 @@ class GRUCell(nn.Module):
         return new_carry, new_carry
 
 
-def _masked_scan(cell: nn.Module, init: jnp.ndarray, xs: jnp.ndarray,
-                 lengths: Optional[jnp.ndarray],
-                 unroll: int = 1) -> jnp.ndarray:
-    """Scan ``cell`` over time (axis 1 of xs) with sequence-length masking.
-
-    Matches ``dynamic_rnn(sequence_length=...)`` semantics: beyond a
-    sequence's length the carry is held and the emitted output is zero.
-    Returns outputs [N, T, H].  ``unroll`` copies of the step body are
-    emitted per XLA loop iteration — Tacotron-size GRU steps are small
-    matmuls, so >1 amortizes per-iteration loop overhead on TPU.
-    """
-    scan = nn.scan(
-        lambda c, carry, x_t: c(carry, x_t),
-        variable_broadcast="params",
-        split_rngs={"params": False},
-        in_axes=1, out_axes=1, unroll=unroll)
-
-    if lengths is None:
-        _, ys = scan(cell, init, xs)
-        return ys
-
-    time_index = jnp.arange(xs.shape[1], dtype=jnp.int32)
-    mask = (time_index[None, :] < lengths[:, None])  # [N, T]
-
-    def step(c, carry, inp):
-        x_t, m_t = inp
-        new_carry, y = c(carry, x_t)
-        m = m_t[:, None].astype(carry.dtype)
-        return carry * (1 - m) + new_carry * m, y * m
-
-    scan_masked = nn.scan(
-        step,
-        variable_broadcast="params",
-        split_rngs={"params": False},
-        in_axes=1, out_axes=1, unroll=unroll)
-    _, ys = scan_masked(cell, init, (xs, mask))
-    return ys
-
-
 def _reverse_sequence(xs: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     """Per-example time reversal of the first ``lengths[i]`` steps
     (tf.reverse_sequence): padding stays in place at the tail."""
@@ -104,13 +65,47 @@ class BiGRU(nn.Module):
     ``models/modules.py:82-96``); Deep Voice 2 speaker conditioning feeds
     ``initial_state`` as the concatenated [fw, bw] state
     (``models/modules.py:82-86``).
+
+    TPU design: both directions step inside ONE ``lax.scan`` — the
+    per-example-reversed sequence rides along as a second input and its
+    cell runs in the same loop body.  These scans are loop-overhead-bound,
+    not FLOP-bound (docs/PERF.md), so doubling the body is near-free while
+    the sequential iteration count halves (2T -> T per BiGRU).  Masking
+    matches ``dynamic_rnn(sequence_length=...)``: beyond a sequence's
+    length the carry is held and the emitted output is zero; the same
+    [N, T] mask serves both directions because ``_reverse_sequence``
+    keeps padding at the tail.  The parameter tree ("fw"/"bw" GRUCells)
+    is identical to two separate scans, so TF1 checkpoint interchange
+    (compat/names.py) and the Pallas adapter (ops/pallas/gru.py) are
+    unaffected.  ``unroll`` emits that many fused step bodies per XLA
+    loop iteration.
     """
 
     features: int
     param_dtype: jnp.dtype = jnp.float32
     unroll: int = 1
 
-    @nn.compact
+    def setup(self):
+        self.fw = GRUCell(self.features, self.param_dtype)
+        self.bw = GRUCell(self.features, self.param_dtype)
+
+    def _step(self, carry, inp):
+        h_fw, h_bw = carry
+        x_fw, x_bw = inp
+        new_fw, y_fw = self.fw(h_fw, x_fw)
+        new_bw, y_bw = self.bw(h_bw, x_bw)
+        return (new_fw, new_bw), (y_fw, y_bw)
+
+    def _step_masked(self, carry, inp):
+        h_fw, h_bw = carry
+        x_fw, x_bw, m_t = inp
+        new_fw, y_fw = self.fw(h_fw, x_fw)
+        new_bw, y_bw = self.bw(h_bw, x_bw)
+        m = m_t[:, None].astype(h_fw.dtype)
+        return ((h_fw * (1 - m) + new_fw * m,
+                 h_bw * (1 - m) + new_bw * m),
+                (y_fw * m, y_bw * m))
+
     def __call__(self, xs: jnp.ndarray,
                  lengths: Optional[jnp.ndarray] = None,
                  initial_state: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -120,22 +115,23 @@ class BiGRU(nn.Module):
         else:
             init_fw = jnp.zeros((N, self.features), dtype=xs.dtype)
             init_bw = jnp.zeros((N, self.features), dtype=xs.dtype)
-
-        fw_cell = GRUCell(self.features, self.param_dtype, name="fw")
-        bw_cell = GRUCell(self.features, self.param_dtype, name="bw")
-
-        ys_fw = _masked_scan(fw_cell, init_fw, xs, lengths,
-                             unroll=self.unroll)
+        init = (init_fw, init_bw)
 
         if lengths is None:
-            xs_rev = jnp.flip(xs, axis=1)
-            ys_bw = jnp.flip(_masked_scan(bw_cell, init_bw, xs_rev, None,
-                                          unroll=self.unroll),
-                             axis=1)
-        else:
-            xs_rev = _reverse_sequence(xs, lengths)
-            ys_bw = _reverse_sequence(
-                _masked_scan(bw_cell, init_bw, xs_rev, lengths,
-                             unroll=self.unroll), lengths)
+            scan = nn.scan(
+                lambda mdl, c, x: mdl._step(c, x),
+                variable_broadcast="params", split_rngs={"params": False},
+                in_axes=1, out_axes=1, unroll=self.unroll)
+            _, (ys_fw, ys_bw) = scan(self, init, (xs, jnp.flip(xs, axis=1)))
+            return jnp.concatenate([ys_fw, jnp.flip(ys_bw, axis=1)], axis=-1)
 
-        return jnp.concatenate([ys_fw, ys_bw], axis=-1)
+        xs_rev = _reverse_sequence(xs, lengths)
+        time_index = jnp.arange(xs.shape[1], dtype=jnp.int32)
+        mask = (time_index[None, :] < lengths[:, None])  # [N, T]
+        scan = nn.scan(
+            lambda mdl, c, x: mdl._step_masked(c, x),
+            variable_broadcast="params", split_rngs={"params": False},
+            in_axes=1, out_axes=1, unroll=self.unroll)
+        _, (ys_fw, ys_bw) = scan(self, init, (xs, xs_rev, mask))
+        return jnp.concatenate(
+            [ys_fw, _reverse_sequence(ys_bw, lengths)], axis=-1)

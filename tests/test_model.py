@@ -193,3 +193,57 @@ def test_scan_unroll_equivalence():
     np.testing.assert_allclose(np.asarray(g1["linear_outputs"]),
                                np.asarray(g4["linear_outputs"]),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_bigru_matches_naive_recurrence():
+    """BiGRU semantics pinned against a per-example numpy recurrence
+    (tf.nn.bidirectional_dynamic_rnn with sequence_length + GRUCell
+    conventions): carry held and zero emitted beyond each length, the
+    backward cell consumes the reversed valid prefix, initial_state is
+    the concatenated [fw, bw] state.  Implementation-independent — guards
+    the fused dual-direction scan (ops/rnn.py)."""
+    import numpy as np
+    from tacotron_tpu.ops.rnn import BiGRU
+
+    rng = np.random.default_rng(11)
+    N, T, D, H = 3, 9, 5, 4
+    x = rng.standard_normal((N, T, D)).astype(np.float32)
+    lengths = np.asarray([9, 5, 2])
+    init_state = rng.standard_normal((N, 2 * H)).astype(np.float32)
+
+    module = BiGRU(H)
+    variables = module.init(jax.random.PRNGKey(3), jnp.asarray(x),
+                            jnp.asarray(lengths))
+
+    def cell(p, h, xt):
+        wg = np.asarray(p["gates"]["kernel"])
+        bg = np.asarray(p["gates"]["bias"])
+        wc = np.asarray(p["candidate"]["kernel"])
+        bc = np.asarray(p["candidate"]["bias"])
+        gi = np.concatenate([xt, h])
+        g = 1.0 / (1.0 + np.exp(-(gi @ wg + bg)))
+        r, u = g[:H], g[H:]
+        c = np.tanh(np.concatenate([xt, r * h]) @ wc + bc)
+        return u * h + (1.0 - u) * c
+
+    p = variables["params"]
+    want = np.zeros((N, T, 2 * H), np.float32)
+    for i in range(N):
+        L = int(lengths[i])
+        h = init_state[i, :H].copy()
+        for t in range(L):
+            h = cell(p["fw"], h, x[i, t])
+            want[i, t, :H] = h
+        h = init_state[i, H:].copy()
+        for t in range(L - 1, -1, -1):
+            h = cell(p["bw"], h, x[i, t])
+            want[i, t, H:] = h
+
+    got = np.asarray(module.apply(variables, jnp.asarray(x),
+                                  jnp.asarray(lengths),
+                                  jnp.asarray(init_state)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # beyond each length: zero emission
+    for i in range(N):
+        if lengths[i] < T:
+            assert np.abs(got[i, lengths[i]:]).max() == 0.0
