@@ -175,6 +175,20 @@ def main() -> None:
     serve_fast_time, _, _ = _timed(serve_fast, reps=10)
     serve_fast_throughput = serve_audio_s / serve_fast_time
 
+    # ---- single-utterance serving latency (the interactive app.py case):
+    # one text through the product API with the recommended preset — what a
+    # demo user waits between request and audio.  Padded to the same
+    # 16-wide chunk the batched path uses, so it reuses the compiled
+    # program (no new bucket).
+    def serve_one():
+        res = synth.synthesize(texts=serve_texts[:1], max_steps=MAX_STEPS,
+                               attention_trim=False, librosa_trim=False,
+                               return_alignments=False, fast_vocoder=True)
+        return len(res["wavs"][0])
+
+    serve_one()
+    lat_time, lat_p10, lat_p90 = _timed(serve_one, reps=10)
+
     # ---- CPU baseline: host (numpy) Griffin-Lim of the same spectrograms,
     # the reference's serving hot path. One utterance, scaled to the batch.
     out = model.apply(variables, inputs_j[:1], lengths_j[:1], train=False,
@@ -301,6 +315,12 @@ def main() -> None:
                 "fast_vocoder": True, "return_alignments": False,
                 "note": "recommended serving preset; spectral convergence "
                         "equals classic 60-iter GL"},
+            "serving_latency_1utt_ms": round(lat_time * 1e3, 1),
+            "serving_latency_1utt_ms_p10_p90": [round(lat_p10 * 1e3, 1),
+                                                round(lat_p90 * 1e3, 1)],
+            "serving_latency_note": "one text -> audio through "
+                                    "Synthesizer.synthesize, fast preset "
+                                    "(the interactive app.py case)",
             "fast_gla_audio_s_per_s": round(fast_throughput, 2),
             "fast_gla_batch_seconds": round(fast_time, 4),
             "fast_gla_config": {"iters": 30, "momentum": 0.99,
