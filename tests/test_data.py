@@ -338,3 +338,26 @@ def test_feeder_pad_to_corpus_max(corpus):
     assert len(shapes) == 1
     tok_shapes = {b.inputs.shape for b in [next(it) for _ in range(4)]}
     assert len(tok_shapes) == 1
+
+
+def test_make_synthetic_corpus_feeds_builder(tmp_path):
+    """scripts/make_synthetic_corpus.py output drives the npz builder
+    (the first two stages of scripts/e2e_drive.sh)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "scripts", "make_synthetic_corpus.py")
+    out = str(tmp_path / "corpus")
+    subprocess.run(
+        [sys.executable, script, out, "--speakers", "1",
+         "--utterances", "2", "--batch_size", "2"],
+        check=True, capture_output=True, timeout=300)
+    meta = os.path.join(out, "spk0", "metadata.csv")
+    assert os.path.isfile(meta)
+    with open(os.path.join(out, "config.json")) as fh:
+        cfg = Config.from_json(fh.read())
+    stats = build_from_path(meta, cfg, num_workers=1)
+    assert stats.num_built == 2
+    files = os.listdir(os.path.join(out, "spk0", "data"))
+    assert len(files) == 2
