@@ -359,7 +359,11 @@ def main() -> None:
                         "time; the non-MXU remainder is framing/OLA "
                         "bandwidth and the fixed ~28 ms dispatch overhead "
                         "of the tunneled backend (the loop is NOT "
-                        "matmul-bound: a 2.3x MAC cut bought only ~10%)",
+                        "matmul-bound: a 2.3x MAC cut bought only ~10%). "
+                        "scripts/gl_roofline.py measures the binding "
+                        "constraint: 0.77 ms/GL-iteration against a "
+                        "790 MB/iter byte-model upper bound = at or near "
+                        "the ~819 GB/s HBM roofline (docs/PERF.md)",
             },
             "device": str(jax.devices()[0]),
         },
