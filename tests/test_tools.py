@@ -129,3 +129,143 @@ def test_book_align():
     start, end, cov = idx.locate(rec["c1.wav"])
     assert cov == 1.0
     assert " ".join(idx.words[start:end]) == rec["c1.wav"]
+
+
+# ---------------------------------------------------------------------------
+# site-specific scrapers (offline: parsing rules on fixtures, injected fetch)
+# ---------------------------------------------------------------------------
+
+LISTING_XML = """<?xml version="1.0"?><root>
+  <news><news_id> NB11515152 </news_id></news>
+  <news><news_id>NB11515153</news_id></news>
+</root>"""
+
+ARTICLE_XML = """<root>
+<article_contents><![CDATA[
+<div>앵커 멘트입니다. 오늘의 주요 뉴스를 전해드립니다.<br/>
+[김철수 기자 : 현장 분위기는 차분합니다.]
+두 번째 문장입니다… 계속 이어집니다 (취재진 제공).
+☞ 자세한 내용은 (http://example.com/full) 에서
+(http://example.com/)
+마지막 문장입니다.</div>
+]]></article_contents>
+<vod_path>http://vod.example.com/master.m3u8</vod_path>
+</root>"""
+
+MASTER_M3U8 = """#EXTM3U
+#EXT-X-STREAM-INF:BANDWIDTH=1280000
+variant/stream.m3u8
+"""
+
+MEDIA_M3U8 = """#EXTM3U
+#EXTINF:10.0,
+seg0.ts
+#EXTINF:10.0,
+seg1.ts
+#EXT-X-ENDLIST
+"""
+
+RSS_XML = """<rss><channel>
+<item><title>[KBS] 친절한 인나씨 17회</title>
+  <guid>http://cdn.example.com/pod/show_a_20170501_ep.mp4</guid></item>
+<item><title>[KBS] 반납예정일 3회</title>
+  <guid>http://cdn.example.com/pod/show_b_20170502_ep.mp4</guid></item>
+<item><title>[KBS] 친절한 인나씨 16-17회 합본</title>
+  <guid>http://cdn.example.com/pod/show_a_20170503_ep.mp4</guid></item>
+<item><title>[KBS] 다른 프로그램</title>
+  <guid>http://cdn.example.com/pod/show_c_20170504_ep.mp4</guid></item>
+<item><title>귀욤열매 드세요 1회</title>
+  <enclosure url="http://cdn.example.com/pod/show_d_20170505_ep.mp3"
+             type="audio/mpeg"/></item>
+</channel></rss>"""
+
+
+def test_scrape_news_listing_and_article():
+    from tacotron_tpu.tools.scrape import NewsApiScraper
+
+    fetched = []
+
+    def fake_fetch(url):
+        fetched.append(url)
+        if "PGI=1" in url:
+            return LISTING_XML
+        if "PGI=" in url:
+            return "<root></root>"
+        if "NID=NB11515152" in url:
+            return ARTICLE_XML
+        if url.endswith("master.m3u8"):
+            return MASTER_M3U8
+        if url.endswith("stream.m3u8"):
+            return MEDIA_M3U8
+        raise AssertionError(url)
+
+    s = NewsApiScraper("http://api.example.com/news",
+                       list_params={"NJC": "NJC300"},
+                       article_params={"NJC": "NJC400"},
+                       fetch=fake_fetch)
+    ids = s.collect_news_ids()
+    assert ids == ["NB11515152", "NB11515153"]
+
+    sentences, original, vod = s.fetch_article("NB11515152")
+    assert vod == "http://vod.example.com/master.m3u8"
+    # reporter quote, promo blurb, urls and parentheticals are gone
+    joined = " ".join(sentences)
+    assert "김철수" not in joined and "http" not in joined
+    assert "취재진" not in joined and "☞" not in joined
+    assert sentences[0] == "앵커 멘트입니다."
+    # like the reference, … -> . happens after sentence split (no re-split)
+    assert any(s.startswith("두 번째 문장입니다.") for s in sentences)
+    assert "…" not in joined
+    assert sentences[-1] == "마지막 문장입니다."
+    assert "<div>" not in original and "앵커 멘트입니다" in original
+
+    segs = s.resolve_segments(vod)
+    assert segs == ["http://vod.example.com/variant/seg0.ts",
+                    "http://vod.example.com/variant/seg1.ts"]
+
+
+def test_scrape_news_download(tmp_path, monkeypatch):
+    from tacotron_tpu.tools import scrape
+
+    def fake_fetch(url):
+        if "NID=" in url:
+            return ARTICLE_XML
+        if url.endswith("master.m3u8"):
+            return MASTER_M3U8
+        return MEDIA_M3U8
+
+    s = scrape.NewsApiScraper("http://api.example.com/news",
+                              fetch=fake_fetch,
+                              fetch_bytes=lambda url: b"TS" + url[-7:].encode())
+    # no ffmpeg in the sandboxed test: stub the audio extraction call
+    calls = []
+    monkeypatch.setattr(scrape.shutil, "which", lambda name: "/bin/true")
+    monkeypatch.setattr(scrape.subprocess, "run",
+                        lambda *a, **k: calls.append(a[0]))
+    out = s.download("NB11515152", str(tmp_path))
+    assert open(out["text"], encoding="utf-8").read().startswith("앵커 멘트입니다.")
+    assert open(out["video"], "rb").read() == b"TSseg0.tsTSseg1.ts"
+    assert calls and calls[0][0] == "/bin/true"
+    assert os.path.exists(tmp_path / "assets" / "original-NB11515152.txt")
+
+
+def test_podcast_feed_selection(tmp_path):
+    from tacotron_tpu.tools.scrape import KBS_YUINNA, PodcastFeed
+
+    feed = PodcastFeed("http://feed.example.com/rss",
+                       fetch=lambda url: RSS_XML,
+                       fetch_bytes=lambda url: b"AUDIO:" + url.encode())
+    items = feed.parse_items(RSS_XML)
+    assert len(items) == 5 and items[0][0] == "[KBS] 친절한 인나씨 17회"
+    # enclosure fallback when <guid> is absent
+    assert items[4][1].endswith("show_d_20170505_ep.mp3")
+
+    picked = feed.select_episodes(items, KBS_YUINNA["accept_list"])
+    # re-run title with '-' and the unlisted programme are filtered out
+    assert set(picked) == {"20170501", "20170502", "20170505"}
+
+    paths = feed.download_all(str(tmp_path), KBS_YUINNA["accept_list"],
+                              max_num=2)
+    assert [os.path.basename(p) for p in paths] == ["20170501.mp4",
+                                                    "20170502.mp4"]
+    assert open(paths[0], "rb").read().startswith(b"AUDIO:")
