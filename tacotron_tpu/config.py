@@ -33,16 +33,25 @@ class AudioConfig:
     ref_level_db: float = 20.0
     griffin_lim_iters: int = 60
     power: float = 1.5  # magnitude exponent applied before Griffin-Lim
-    # On-chip Griffin-Lim engine: "matmul_half" (default) runs the DFT as
-    # bf16 MXU matmuls in decimation-in-frequency split-bin form — ~2.3x
-    # fewer MACs than "matmul_bf16" with zero relayouts, measured ~10%
-    # faster at serving batch sizes (841 vs 767 a-s/s at B=32, waveform
-    # corr 0.991 vs fft); "matmul_bf16" is the dense single-stage variant;
-    # "fft" is the bit-careful XLA FFT path used for strict parity checks;
-    # "pallas" fuses the magnitude-projection spectral step into a Pallas
-    # kernel; "matmul_split" factorizes the DFT into two VMEM-sized stages
-    # (Cooley-Tukey) — both measured parity-not-win, see dsp/chip.py.
-    griffin_lim_impl: str = "matmul_half"
+    # On-chip Griffin-Lim engine.  "auto" (default) resolves at dispatch:
+    # the "fused" single-Pallas-kernel iteration on TPU (the whole
+    # frame->DFT->project->iDFT->OLA step VMEM-resident per batch item,
+    # measured +23% over matmul_half at B=32 — ops/pallas/gl_fused.py),
+    # "matmul_half" elsewhere (interpret-mode pallas on CPU is needlessly
+    # slow for tests).  Explicit engines: "matmul_half" runs the DFT as
+    # bf16 MXU matmuls in u/v split-bin form — ~2.3x fewer MACs than
+    # "matmul_bf16" with zero relayouts; "matmul_bf16" is the dense
+    # single-stage variant; "fft" is the bit-careful XLA FFT path used
+    # for strict parity checks; "fused" forces the Pallas iteration
+    # kernel (note its documented edge deviation: the carried signal is
+    # re-framed at full OLA length instead of center-slice+reflect-pad,
+    # so the ~n_fft/2 samples at each end converge against OLA-spill
+    # context — interior waveform corr vs fft is BETTER than
+    # matmul_half's); "pallas" fuses only the magnitude-projection
+    # spectral step; "matmul_split" factorizes the DFT into two
+    # VMEM-sized stages (Cooley-Tukey) — both measured parity-not-win,
+    # see dsp/chip.py.
+    griffin_lim_impl: str = "auto"
     # Overlap-add implementation inside the Griffin-Lim loop: "pallas"
     # (fused single-kernel OLA, ops/pallas/ola.py — keeps the windowed
     # frames / chunk tensor / shifted copies in VMEM instead of HBM;

@@ -368,6 +368,33 @@ def _griffin_lim_half_batched(magnitude: jnp.ndarray, num_samples: int,
     return _gl_loop(gl_update, y, config)
 
 
+def _griffin_lim_fused_batched(magnitude: jnp.ndarray, num_samples: int,
+                               config: AudioConfig) -> jnp.ndarray:
+    """Batched Griffin-Lim with the fully-fused Pallas iteration kernel
+    (impl = "fused"): the ENTIRE iteration (framing -> u/v DFT -> phase
+    projection -> inverse DFT -> windowed OLA -> normalize) runs in one
+    VMEM-resident kernel per batch item, so per-iteration HBM traffic is
+    just the signal + target magnitudes.  The signal is carried at full
+    overlap-add length between iterations (no per-iteration center-slice
+    + reflect-pad; see ops/pallas/gl_fused.py for the documented edge
+    deviation)."""
+    from ..ops.pallas.gl_fused import (center_slice, gl_iteration,
+                                       initial_signal_blocks,
+                                       prepare_magnitudes)
+    B, n_frames, _ = magnitude.shape
+    ta = -(-n_frames // 8) * 8  # sublane-aligned frame axis; zero-mag
+    magnitude = jnp.pad(magnitude,  # pad rows contribute nothing
+                        ((0, 0), (0, ta - n_frames), (0, 0)))
+    mag_e_s, mag_o_s = prepare_magnitudes(magnitude, config.n_fft)
+    y0 = initial_signal_blocks(mag_e_s, mag_o_s, n_frames, config)
+
+    def gl_update(sig):
+        return gl_iteration(sig, mag_e_s, mag_o_s, n_frames, config)
+
+    sig = _gl_loop(gl_update, y0, config)
+    return center_slice(sig, num_samples, config)
+
+
 def _mirror_full_spectrum(mag: jnp.ndarray) -> jnp.ndarray:
     """[R, F=n_fft//2+1] magnitudes -> Hermitian-extended [R, n_fft]."""
     return jnp.concatenate([mag, mag[:, -2:0:-1]], axis=-1)
@@ -509,20 +536,35 @@ def griffin_lim_batched(magnitude: jnp.ndarray, num_samples: int,
     """Batched phase reconstruction [B, n_frames, n_freq] -> [B, samples].
 
     THE engine dispatch (``griffin_lim`` delegates here).  Engines, by
-    ``config.griffin_lim_impl``: "matmul_half" (default, u/v half-frame
-    decimation bf16 MXU matmuls — fastest measured), "matmul_bf16" (dense
+    ``config.griffin_lim_impl``: "auto" (default: "fused" on TPU,
+    "matmul_half" elsewhere), "fused" (single-Pallas-kernel iteration,
+    fastest measured on TPU — ops/pallas/gl_fused.py), "matmul_half"
+    (u/v half-frame decimation bf16 MXU matmuls), "matmul_bf16" (dense
     single-stage matmuls), "matmul_split" (two-stage Cooley-Tukey),
     "pallas" (fused spectral-step kernel), "fft" (strict float32 XLA FFTs,
     parity reference).  ``config.ola_impl`` selects the overlap-add for
-    the natively-batched engines (half/split/pallas); the vmapped
-    single-item engines (bf16/fft) cannot fold the batch into the Pallas
-    OLA kernel, so an explicit ``ola_impl="pallas"`` there is an error
-    rather than a silently ignored knob.
+    the natively-batched engines (half/split/pallas; "fused" contains its
+    own in-VMEM OLA and ignores the knob); the vmapped single-item
+    engines (bf16/fft) cannot fold the batch into the Pallas OLA kernel,
+    so an explicit ``ola_impl="pallas"`` there is an error rather than a
+    silently ignored knob.
     """
     if config.ola_impl not in ("auto", "pallas", "xla"):
         raise ValueError(f"unknown ola_impl {config.ola_impl!r} "
                          "(expected 'auto', 'pallas' or 'xla')")
     impl = config.griffin_lim_impl
+    if impl == "auto":
+        # fused Pallas iteration kernel on TPU, matmul_half elsewhere
+        # (interpret-mode pallas on CPU is needlessly slow for tests)
+        impl = "fused" if jax.default_backend() == "tpu" else "matmul_half"
+    if impl == "fused":
+        from ..ops.pallas.gl_fused import fused_supported
+        if fused_supported(config, magnitude.shape[1]):
+            # ola_impl is moot here: the fused kernel contains its own
+            # in-VMEM overlap-add (there is no standalone OLA pass)
+            return _griffin_lim_fused_batched(magnitude, num_samples,
+                                              config)
+        impl = "matmul_half"  # odd shapes: fall through like matmul_half
     if impl == "matmul_half" and config.n_fft % 4 != 0:
         # u/v decimation needs n_fft divisible by 4; odd configs (num_freq
         # making n_fft = 2 mod 4) get the dense matmul engine instead of

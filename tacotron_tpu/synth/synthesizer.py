@@ -195,6 +195,11 @@ def make_sharded_synthesis(config: Config, plan, max_steps: int):
     audio_cfg = config.audio
     if audio_cfg.ola_impl == "auto":
         audio_cfg = dataclasses.replace(audio_cfg, ola_impl="xla")
+    if audio_cfg.griffin_lim_impl in ("auto", "fused"):
+        # same conservatism for the fused GL iteration kernel: pin the
+        # pure-XLA-compatible engine unless the caller forces one
+        audio_cfg = dataclasses.replace(audio_cfg,
+                                        griffin_lim_impl="matmul_half")
 
     def fn(variables, inputs, input_lengths, speaker_id):
         out = model.apply(variables, inputs, input_lengths,
