@@ -7,13 +7,16 @@ The published reference models (``son``/``park``,
   serialized ``BundleEntryProto``s (dtype, shape, shard, offset, size);
 - ``<prefix>.data-00000-of-00001`` — the raw little-endian tensor bytes.
 
-TensorFlow is not available in this environment, so both sides of the
-format are implemented here from the on-disk layout: varint-prefixed
+Both sides of the format are implemented here dependency-free so the
+training/serving stack never needs TensorFlow at runtime: varint-prefixed
 prefix-compressed table blocks with restart arrays and a fixed 48-byte
 footer (magic ``0xdb4775248b80fb57``), and a minimal protobuf codec for
 ``BundleEntryProto``/``BundleHeaderProto``.  The writer exists so the codec
 is round-trip tested without TF and so trained models can be exported
-toward TF tooling.
+toward TF tooling.  Both directions are cross-validated against TensorFlow
+itself when it is installed (as in CI here): ``tf.compat.v1.train.Saver``
+-> this reader, and this writer -> ``tf.train.load_checkpoint``, byte-exact
+(``tests/test_tf_oracle.py``).
 
 Only the features TF1 checkpoints actually use are supported: uncompressed
 or snappy-compressed blocks (snappy raises a clear error — TF writes the
@@ -347,7 +350,10 @@ def write_checkpoint(prefix: str, tensors: Dict[str, np.ndarray]) -> None:
         header = _proto_field(1, 0, 1)  # num_shards = 1
         items = [(b"", header)]
         for name in sorted(tensors):
-            arr = np.ascontiguousarray(tensors[name])
+            # NOT ascontiguousarray: that guarantees ndim >= 1, silently
+            # recording scalars (e.g. global_step) as shape (1,) — caught
+            # by the tf.train.load_checkpoint oracle (test_tf_oracle.py).
+            arr = np.asarray(tensors[name], order="C")
             code = _DTYPE_CODES.get(arr.dtype)
             if code is None:
                 raise ValueError(f"{name}: unsupported dtype {arr.dtype}")
