@@ -348,3 +348,62 @@ def test_griffin_lim_engine_dispatch_contract():
         assert np.isfinite(wb).all(), impl
         w1 = np.asarray(chip.griffin_lim(mag[0], num_samples, cfg))
         np.testing.assert_array_equal(w1, wb[0], err_msg=impl)
+
+
+class TestGoldenFixture:
+    """Host DSP pinned against committed fixtures generated by independent
+    implementations (tf.signal STFT, loop-built Slaney filterbank, direct
+    difference-equation pre-emphasis) — scripts/make_dsp_fixtures.py.
+    Catches any drift in the librosa-semantics contract the reference
+    relies on (/root/reference/audio/__init__.py:48-67,99-122) without
+    trusting the repo's own formulas as the oracle."""
+
+    @pytest.fixture(scope="class")
+    def golden(self):
+        import os
+        path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "dsp_golden.npz")
+        return np.load(path)
+
+    def test_params_match(self, golden):
+        sr, n_fft, hop, win, n_mels = golden["params"]
+        assert (sr, n_fft, hop, win) == (CFG.sample_rate, CFG.n_fft,
+                                         CFG.hop_length, CFG.win_length)
+        assert n_mels == CFG.num_mels
+
+    def test_preemphasis(self, golden):
+        got = host.preemphasis(golden["signal"], CFG)
+        np.testing.assert_allclose(got, golden["preemphasized"],
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_inv_preemphasis(self, golden):
+        got = host.inv_preemphasis(golden["signal"], CFG)
+        np.testing.assert_allclose(got, golden["inv_preemphasized"],
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_stft(self, golden):
+        D = host.stft(golden["preemphasized"], CFG)
+        ref = golden["stft_real"] + 1j * golden["stft_imag"]
+        assert D.shape == ref.shape
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(D / scale, ref / scale, atol=3e-6)
+
+    def test_mel_basis(self, golden):
+        got = mel_basis(CFG.sample_rate, CFG.n_fft, CFG.num_mels)
+        np.testing.assert_allclose(got, golden["mel_basis"],
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_spectrogram(self, golden):
+        got = host.spectrogram(golden["signal"], CFG)
+        np.testing.assert_allclose(got, golden["spectrogram"], atol=1e-4)
+
+    def test_melspectrogram(self, golden):
+        got = host.melspectrogram(golden["signal"], CFG)
+        np.testing.assert_allclose(got, golden["melspectrogram"], atol=1e-4)
+
+    def test_chip_spectrogram_matches_fixture(self, golden):
+        import jax.numpy as jnp
+        got = np.asarray(chip.spectrogram(jnp.asarray(golden["signal"]),
+                                          CFG))
+        # chip layout is [frames, bins]
+        np.testing.assert_allclose(got.T, golden["spectrogram"], atol=2e-4)
