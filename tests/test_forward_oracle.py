@@ -1,0 +1,127 @@
+"""Composition-level forward parity: flax Tacotron vs the numpy oracle.
+
+The oracle (``tests/ref_oracle.py``) re-implements the reference graph as
+naive per-step loops from the TF1 sources; the flax model is a scan-based
+TPU-first redesign.  Feeding both the SAME randomized parameter tree and
+asserting allclose catches wiring errors (wrong concat order, wrong frame
+fed back, speaker injected at the wrong site) that per-op tests cannot."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ref_oracle
+from tacotron_tpu.config import ModelConfig
+from tacotron_tpu.models.tacotron import Tacotron
+
+RNG = jax.random.PRNGKey(0)
+
+# Two architecture shapes: B additionally exercises the encoder
+# highway_dim_fix (proj last 16 != enc_rnn 24) and a different r.
+SHAPE_A = dict(
+    num_mels=10, num_freq=33, embedding_size=32, enc_prenet_sizes=(32, 16),
+    enc_bank_size=4, enc_bank_channel_size=16, enc_highway_depth=2,
+    enc_rnn_size=16, enc_proj_sizes=(16, 16), attention_size=16,
+    attention_state_size=16, dec_layer_num=2, dec_rnn_size=16,
+    dec_prenet_sizes=(16, 8), post_bank_size=2, post_bank_channel_size=16,
+    post_highway_depth=2, post_rnn_size=16, post_proj_sizes=(16, 10),
+    reduction_factor=2)
+SHAPE_B = dict(
+    num_mels=8, num_freq=25, embedding_size=24, enc_prenet_sizes=(24, 16),
+    enc_bank_size=3, enc_bank_channel_size=12, enc_highway_depth=3,
+    enc_rnn_size=24, enc_proj_sizes=(16, 16), attention_size=24,
+    attention_state_size=24, dec_layer_num=2, dec_rnn_size=20,
+    dec_prenet_sizes=(16,), post_bank_size=2, post_bank_channel_size=12,
+    post_highway_depth=2, post_rnn_size=12, post_proj_sizes=(12, 8),
+    reduction_factor=4)
+
+
+def _random_variables(model, cfg, inputs, lengths, mels, spk, seed):
+    """Init for structure, then randomize params and batch_stats so no
+    zero-init symmetry hides a wiring bug."""
+    variables = model.init({"params": RNG, "dropout": RNG}, inputs, lengths,
+                           speaker_id=spk, mel_targets=mels, train=True)
+    rng = np.random.default_rng(seed)
+
+    def rand_param(p):
+        return jnp.asarray(
+            (0.3 * rng.standard_normal(p.shape)).astype(np.float32))
+
+    params = jax.tree.map(rand_param, variables["params"])
+    flat = {}
+    if "batch_stats" in variables:
+        def rand_stat(path, p):
+            name = path[-1].key
+            if name == "var":
+                arr = rng.uniform(0.5, 1.5, p.shape)
+            else:
+                arr = 0.2 * rng.standard_normal(p.shape)
+            return jnp.asarray(arr.astype(np.float32))
+
+        flat = jax.tree_util.tree_map_with_path(
+            rand_stat, variables["batch_stats"])
+    return {"params": params, "batch_stats": flat}
+
+
+def _to_numpy(variables):
+    return jax.tree.map(np.asarray, variables)
+
+
+def _run_case(shape, model_type, emb, attention_type="bah_mon", seed=0):
+    n_spk = 1 if model_type == "single" else 3
+    cfg = ModelConfig(model_type=model_type, num_speakers=n_spk,
+                      speaker_embedding_size=emb,
+                      attention_type=attention_type, **shape)
+    model = Tacotron(cfg)
+    rng = np.random.default_rng(seed + 100)
+    N, T_in = 2, 12
+    steps = 4
+    T_out = steps * cfg.reduction_factor
+    inputs = jnp.asarray(rng.integers(0, 80, (N, T_in)), jnp.int32)
+    lengths = jnp.asarray([T_in, T_in - 3], jnp.int32)
+    mels = jnp.asarray(
+        rng.uniform(0, 1, (N, T_out, cfg.num_mels)).astype(np.float32))
+    spk = None if model_type == "single" else jnp.asarray([0, 2], jnp.int32)
+
+    variables = _random_variables(model, cfg, inputs, lengths, mels, spk,
+                                  seed)
+    np_vars = _to_numpy(variables)
+    np_inputs = np.asarray(inputs)
+    np_lengths = np.asarray(lengths)
+    np_spk = None if spk is None else np.asarray(spk)
+
+    # teacher-forced
+    got = model.apply(variables, inputs, lengths, speaker_id=spk,
+                      mel_targets=mels, train=False)
+    want = ref_oracle.forward(np_vars, cfg, np_inputs, np_lengths,
+                              speaker_id=np_spk,
+                              mel_targets=np.asarray(mels))
+    for key in ("mel_outputs", "linear_outputs", "alignments"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), want[key], rtol=2e-4, atol=2e-4,
+            err_msg=f"{model_type}/emb{emb}/{attention_type} forced {key}")
+
+    # greedy autoregressive (feedback wiring)
+    got_g = model.apply(variables, inputs, lengths, speaker_id=spk,
+                        train=False, max_steps=steps)
+    want_g = ref_oracle.forward(np_vars, cfg, np_inputs, np_lengths,
+                                speaker_id=np_spk, max_steps=steps)
+    for key in ("mel_outputs", "linear_outputs", "alignments"):
+        np.testing.assert_allclose(
+            np.asarray(got_g[key]), want_g[key], rtol=5e-4, atol=5e-4,
+            err_msg=f"{model_type}/emb{emb}/{attention_type} greedy {key}")
+
+
+@pytest.mark.parametrize("model_type,emb", [
+    ("single", 16), ("deepvoice", 16), ("deepvoice", 1), ("simple", 16)])
+@pytest.mark.parametrize("shape", [SHAPE_A, SHAPE_B],
+                         ids=["shapeA", "shapeB"])
+def test_forward_matches_numpy_oracle(shape, model_type, emb):
+    _run_case(shape, model_type, emb, seed=hash((model_type, emb)) % 1000)
+
+
+@pytest.mark.parametrize("attention_type",
+                         ["bah", "bah_norm", "luong", "luong_scaled"])
+def test_attention_variants_match_numpy_oracle(attention_type):
+    _run_case(SHAPE_A, "single", 16, attention_type=attention_type, seed=7)
