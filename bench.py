@@ -1,5 +1,7 @@
 #!/usr/bin/env python3
-"""Benchmark harness: prints ONE JSON line.
+"""Benchmark harness: prints ONE compact JSON headline line (last line of
+stdout, <= 200 bytes: metric/value/unit/vs_baseline) and writes the full
+measurement record to ``BENCH_DETAIL.json``.
 
 Headline metric: **synthesis audio-seconds per second per chip** — batched
 greedy decode (text -> mel -> linear) plus on-chip 60-iteration Griffin-Lim
@@ -368,7 +370,18 @@ def main() -> None:
             "device": str(jax.devices()[0]),
         },
     }
-    print(json.dumps(result))
+    # Full record to a sidecar file; a compact headline as the LAST stdout
+    # line.  The driver tail-captures stdout and parses the final JSON line —
+    # round 2's single ~3 KB line overflowed that capture and the round's
+    # metric was recorded as null (BENCH_r02.json "parsed": null).
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(result, f, indent=2)
+    headline = {k: result[k] for k in ("metric", "value", "unit",
+                                       "vs_baseline")}
+    headline["detail_file"] = "BENCH_DETAIL.json"
+    line = json.dumps(headline)
+    assert len(line) <= 200, f"headline must stay tail-parseable: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

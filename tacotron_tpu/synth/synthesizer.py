@@ -42,6 +42,44 @@ def _model_for(config: Config) -> Tacotron:
                     vocab_size=vocab_size_for(config.data.symbol_set))
 
 
+# Decode-step bucket ladder for length-adaptive serving.  A small fixed set
+# of step counts keeps the jit-program cache bounded (like token buckets);
+# values are multiples of 50 up to the reference's hard decode cap
+# (``/root/reference/models/tacotron.py:210``).
+STEP_LADDER = (50, 100, 150, 200)
+
+# Decoder steps per input token, with headroom.  Grounding: one decoder
+# step emits r=4 frames = 50 ms; a Korean jamo token averages ~80-120 ms
+# of speech (the reference corpus filter admits 120..796 frames for >= 50
+# tokens, ``datasets/datafeeder.py:97-98`` — at most ~2 steps/token), so
+# 2.0 is ~1.5-2x real speaking rate.  Attention trimming removes the
+# surplus tail exactly as it does at the full 200-step decode.
+STEPS_PER_TOKEN = 2.0
+
+
+def adaptive_max_steps(num_tokens: int, min_iters: int, max_iters: int,
+                       steps_per_token: float = STEPS_PER_TOKEN,
+                       ladder: Sequence[int] = STEP_LADDER) -> int:
+    """Decode-step budget for an utterance of ``num_tokens`` tokens.
+
+    The reference stops its greedy decode on an all-zero stop frame
+    (``/root/reference/models/helpers.py:26-32``) — a data-dependent exit
+    that XLA cannot compile into a fixed-shape TPU program.  The TPU-first
+    equivalent: derive the budget from the token count (speech length is
+    ~linear in text length), clip to the reference's [min_iters, max_iters]
+    bounds, and round UP to a small step-bucket ladder so repeated calls
+    reuse compiled programs.  Short texts then pay ~a quarter of the
+    full-cap decode+vocode cost instead of always decoding
+    ``max_iters=200`` steps.
+    """
+    need = int(np.ceil(steps_per_token * max(1, num_tokens)))
+    need = min(max(need, min_iters), max_iters)
+    for rung in ladder:
+        if need <= rung <= max_iters:
+            return rung
+    return max_iters
+
+
 def attention_trim_index(alignment: np.ndarray, seq_len: int,
                          reduction_factor: int) -> int:
     """Spectrogram-frame index to cut at, from the alignment's argmax path
@@ -195,11 +233,18 @@ def make_sharded_synthesis(config: Config, plan, max_steps: int):
     audio_cfg = config.audio
     if audio_cfg.ola_impl == "auto":
         audio_cfg = dataclasses.replace(audio_cfg, ola_impl="xla")
-    if audio_cfg.griffin_lim_impl in ("auto", "fused"):
+    if audio_cfg.griffin_lim_impl == "auto":
         # same conservatism for the fused GL iteration kernel: pin the
-        # pure-XLA-compatible engine unless the caller forces one
+        # pure-XLA-compatible engine when the caller left the choice open
         audio_cfg = dataclasses.replace(audio_cfg,
                                         griffin_lim_impl="matmul_half")
+    elif audio_cfg.griffin_lim_impl == "fused":
+        # explicit incompatible knobs raise (same contract as ola_impl
+        # above) instead of being silently rewritten
+        raise ValueError(
+            "griffin_lim_impl='fused' (a Pallas kernel) is not validated "
+            "under SPMD partitioning; use 'auto' or an XLA engine "
+            "('matmul_half'/'matmul_bf16'/'fft') for sharded synthesis")
 
     def fn(variables, inputs, input_lengths, speaker_id):
         out = model.apply(variables, inputs, input_lengths,
@@ -367,23 +412,38 @@ class Synthesizer:
         Mirrors the trainer's ``--prewarm`` bucket-ladder pass
         (train/driver.py).
 
+        With ``max_steps=None`` each token bucket is prewarmed at every
+        decode-step rung :func:`adaptive_max_steps` can choose for texts
+        that land in it (texts of 1..bucket tokens), matching the
+        length-adaptive serving default.
+
         Returns the number of programs executed (compiled or cache-hit).
         """
         assert self.variables is not None, "call load() or init_random()"
-        steps = max_steps or self.config.model.max_iters
-        spk_on = self.config.model.num_speakers > 1
+        cfg = self.config
+        spk_on = cfg.model.num_speakers > 1
         n = 0
         for bucket in token_buckets:
-            fn = self._fused(bucket, steps, manual=False,
-                             trim=attention_trim, fast=fast_vocoder)
-            for nb in batch_sizes:
-                inputs = jnp.zeros((nb, bucket), jnp.int32)
-                lengths = jnp.ones((nb,), jnp.int32)
-                spk = jnp.zeros((nb,), jnp.int32) if spk_on else None
-                packed, _ = fn(self.variables, inputs, lengths, spk,
-                               None, jnp.asarray(False))
-                jax.block_until_ready(packed)
-                n += 1
+            if max_steps is not None:
+                step_set = [max_steps]
+            else:
+                cap = adaptive_max_steps(bucket, cfg.data.min_iters,
+                                         cfg.model.max_iters)
+                step_set = sorted({
+                    adaptive_max_steps(t, cfg.data.min_iters,
+                                       cfg.model.max_iters)
+                    for t in range(1, bucket + 1)} | {cap})
+            for steps in step_set:
+                fn = self._fused(bucket, steps, manual=False,
+                                 trim=attention_trim, fast=fast_vocoder)
+                for nb in batch_sizes:
+                    inputs = jnp.zeros((nb, bucket), jnp.int32)
+                    lengths = jnp.ones((nb,), jnp.int32)
+                    spk = jnp.zeros((nb,), jnp.int32) if spk_on else None
+                    packed, _ = fn(self.variables, inputs, lengths, spk,
+                                   None, jnp.asarray(False))
+                    jax.block_until_ready(packed)
+                    n += 1
         return n
 
     # ----------------------------------------------------------- synthesize
@@ -418,6 +478,13 @@ class Synthesizer:
         ``fast_vocoder=True`` (chip path only) uses momentum Griffin-Lim
         (30 iters, momentum 0.99; spectral convergence equal to classic 60
         iterations) — the recommended serving configuration.
+
+        ``max_steps=None`` (the default, and what ``app.py`` serves with)
+        derives the decode-step budget from the batch's longest text via
+        :func:`adaptive_max_steps` instead of always decoding the full
+        ``max_iters=200`` cap — short texts skip most of the decode+vocode
+        cost; trimming behaves identically.  Pass ``max_steps`` explicitly
+        to pin a fixed budget.
         """
         assert self.variables is not None, "call load() or init_random()"
         cfg = self.config
@@ -443,7 +510,11 @@ class Synthesizer:
             has_eos, np.argmax(inputs == EOS_ID, axis=1) + 1,
             np.asarray(seq_lens)).astype(np.int32)
 
-        steps = max_steps or cfg.model.max_iters
+        # Length-adaptive decode budget when the caller does not pass one
+        # (what app.py / eval.py serve with): see adaptive_max_steps.
+        steps = (max_steps if max_steps is not None else
+                 adaptive_max_steps(max(seq_lens), cfg.data.min_iters,
+                                    cfg.model.max_iters))
         spk = (np.asarray(speaker_ids, np.int32)
                if speaker_ids is not None else np.zeros((N,), np.int32))
         if cfg.model.num_speakers <= 1:

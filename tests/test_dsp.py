@@ -407,3 +407,46 @@ class TestGoldenFixture:
                                           CFG))
         # chip layout is [frames, bins]
         np.testing.assert_allclose(got.T, golden["spectrogram"], atol=2e-4)
+
+
+def test_griffin_lim_fused_engine():
+    """The fully-fused Pallas iteration kernel (the TPU default via
+    griffin_lim_impl='auto') tracks the strict-f32 fft engine on the
+    interior of the waveform (its documented edge deviation: the carried
+    signal is re-framed at full OLA length, so ~n_fft/2 samples at each
+    end converge against OLA-spill instead of reflect-pad context).
+    Interpret mode on CPU exercises the same kernel program."""
+    import dataclasses
+    import jax.numpy as jnp
+    from tacotron_tpu.dsp import chip
+    from tacotron_tpu.ops.pallas.gl_fused import fused_supported
+
+    cfg_fft = dataclasses.replace(AudioConfig(), griffin_lim_impl="fft",
+                                  griffin_lim_iters=1)
+    cfg_fused = dataclasses.replace(cfg_fft, griffin_lim_impl="fused")
+    assert fused_supported(cfg_fused, 24)
+
+    rng = np.random.default_rng(3)
+    n_frames = 24
+    num_samples = (n_frames - 1) * cfg_fft.hop_length
+    mag = jnp.asarray(rng.random((1, n_frames, 1025)).astype(np.float32))
+    wa = np.asarray(chip.griffin_lim_batched(mag, num_samples, cfg_fft))[0]
+    wb = np.asarray(chip.griffin_lim_batched(mag, num_samples, cfg_fused))[0]
+    n_fft = cfg_fft.n_fft
+    interior = slice(n_fft, num_samples - n_fft)
+    corr = np.corrcoef(wa[interior], wb[interior])[0, 1]
+    assert corr > 0.999, corr
+    assert 0.95 < wb[interior].std() / wa[interior].std() < 1.05
+
+    # unsupported shapes fall back to matmul_half instead of erroring:
+    # n_fft = 576 breaks the lane-aligned half-split precondition
+    cfg_odd = dataclasses.replace(
+        AudioConfig(num_freq=289, sample_rate=16000, frame_length_ms=32,
+                    frame_shift_ms=8), griffin_lim_impl="fused",
+        griffin_lim_iters=1)
+    assert not fused_supported(cfg_odd, 8)
+    mag_odd = jnp.asarray(rng.random((1, 8, 289)).astype(np.float32))
+    w_odd = np.asarray(chip.griffin_lim_batched(
+        mag_odd, 7 * cfg_odd.hop_length, cfg_odd))
+    assert w_odd.shape == (1, 7 * cfg_odd.hop_length)
+    assert np.isfinite(w_odd).all()

@@ -277,3 +277,42 @@ def test_prewarm_compiles_serving_programs():
     assert np.isfinite(out["wavs"][0]).all()
     # the request reused the prewarmed program — no new fused key appeared
     assert [k for k in synth._compiled if k not in before] == []
+
+
+def test_adaptive_max_steps_ladder():
+    """Length-adaptive serving budget: short texts get a small decode
+    budget (rounded up a fixed ladder), long texts the reference cap."""
+    from tacotron_tpu.synth.synthesizer import (STEP_LADDER,
+                                                adaptive_max_steps)
+    # short text: 2.0 steps/token, clipped to min_iters, rounded to 50
+    assert adaptive_max_steps(10, 30, 200) == 50
+    assert adaptive_max_steps(25, 30, 200) == 50
+    assert adaptive_max_steps(26, 30, 200) == 100
+    assert adaptive_max_steps(60, 30, 200) == 150
+    assert adaptive_max_steps(80, 30, 200) == 200
+    # beyond the ladder: the reference decode cap, never more
+    assert adaptive_max_steps(500, 30, 200) == 200
+    # a caller-lowered cap wins over every rung
+    assert adaptive_max_steps(500, 30, 80) == 80
+    assert adaptive_max_steps(1, 30, 200) == STEP_LADDER[0]
+
+
+def test_synthesize_default_steps_are_length_adaptive():
+    """With max_steps omitted, short texts decode fewer steps (ladder
+    rung) than the max_iters cap; output still trims/behaves normally."""
+    cfg = Config()
+    cfg = cfg.replace(model=ModelConfig(
+        embedding_size=32, enc_prenet_sizes=(32, 16), enc_bank_size=4,
+        enc_bank_channel_size=16, enc_highway_depth=2, enc_rnn_size=16,
+        enc_proj_sizes=(16, 16), attention_size=16, attention_state_size=16,
+        dec_layer_num=2, dec_rnn_size=16, dec_prenet_sizes=(16, 8),
+        post_bank_size=2, post_bank_channel_size=16, post_highway_depth=2,
+        post_rnn_size=16, post_proj_sizes=(16, 80), max_iters=200))
+    synth = Synthesizer().init_random(cfg)
+    res = synth.synthesize(texts=["안녕."], attention_trim=False,
+                           librosa_trim=False, vocode="none")
+    # "안녕." -> ~8 tokens -> ladder rung 50, not max_iters=200
+    r = cfg.model.reduction_factor
+    t_dec = res["alignments"][0].shape[1]
+    assert t_dec == 50, t_dec
+    assert res["linear"][0].shape[0] == 50 * r
