@@ -191,6 +191,44 @@ def main() -> None:
     serve_one()
     lat_time, lat_p10, lat_p90 = _timed(serve_one, reps=10)
 
+    # ---- true serving DEFAULT (what app.py delivers when the caller sets
+    # nothing): max_steps omitted -> length-adaptive decode budget
+    # (synth/synthesizer.py::adaptive_max_steps) + attention/dB trim on.
+    def serve_default_one():
+        res = synth.synthesize(texts=serve_texts[:1],
+                               return_alignments=False, fast_vocoder=True)
+        return len(res["wavs"][0])
+
+    default_samples = serve_default_one()
+    lat_def_time, lat_def_p10, lat_def_p90 = _timed(serve_default_one,
+                                                    reps=10)
+
+    def serve_default_batch():
+        res = synth.synthesize(texts=serve_texts,
+                               return_alignments=False, fast_vocoder=True)
+        return sum(len(w) for w in res["wavs"])
+
+    default_batch_samples = serve_default_batch()
+    serve_def_time, _, _ = _timed(serve_default_batch, reps=10)
+    serve_def_throughput = (default_batch_samples / cfg.audio.sample_rate
+                            / serve_def_time)
+
+    # ---- serving host-link budget: one instrumented fast-preset call
+    # split into frontend / dispatch / device / fetch / post phases
+    # (median of 10; the probe sync adds one link round trip to "device")
+    phase_keys = ("frontend_ms", "dispatch_ms", "device_ms", "fetch_ms",
+                  "post_ms", "total_ms")
+    phase_samples = {k: [] for k in phase_keys}
+    for _ in range(10):
+        res = synth.synthesize(texts=serve_texts, max_steps=MAX_STEPS,
+                               attention_trim=False, librosa_trim=False,
+                               return_alignments=False, fast_vocoder=True,
+                               collect_timings=True)
+        for k in phase_keys:
+            phase_samples[k].append(res["timings"][k])
+    phase_budget = {k: round(float(np.median(v)), 2)
+                    for k, v in phase_samples.items()}
+
     # ---- CPU baseline: host (numpy) Griffin-Lim of the same spectrograms,
     # the reference's serving hot path. One utterance, scaled to the batch.
     out = model.apply(variables, inputs_j[:1], lengths_j[:1], train=False,
@@ -286,9 +324,21 @@ def main() -> None:
     macs_per_row = (2 * M * ne + 2 * M * no
                     + 2 * ne * M + 2 * no * M)
     gl_flops = cfg.audio.griffin_lim_iters * gl_rows * 2 * macs_per_row
-    v5e_bf16_peak_tflops = 394.0
+    # v5e bf16 MXU peak is 197 TFLOP/s (394 is the INT8 TOPS figure —
+    # round 2 reported MXU% against the wrong peak; corrected here)
+    from tacotron_tpu.train.roofline import (V5E_BF16_PEAK_TFLOPS,
+                                             train_step_model, mfu)
+    v5e_bf16_peak_tflops = V5E_BF16_PEAK_TFLOPS
     achieved_tflops = gl_flops / tpu_time / 1e12  # upper bound: whole
     # program time incl decode/framing/OLA attributed to GL matmuls
+
+    # ---- train-step roofline (the GL-style accounting, round-3):
+    # analytic matmul-FLOP model of fwd+bwd at this batch/shape vs the
+    # measured steady-state step -> MFU; scripts/train_roofline.py holds
+    # the full study (batch-scaling attack + per-scan-iteration budget)
+    tr_model = train_step_model(train_cfg, NB, 64, T_OUT)
+    train_mfu_pct = mfu(tr_model["total_flops"], chain_time / CHAIN)
+    bf16_mfu_pct = mfu(tr_model["total_flops"], bf16_time / CHAIN)
 
     result = {
         "metric": "synthesis_throughput",
@@ -323,6 +373,27 @@ def main() -> None:
             "serving_latency_note": "one text -> audio through "
                                     "Synthesizer.synthesize, fast preset "
                                     "(the interactive app.py case)",
+            "serving_default_latency_1utt_ms": round(lat_def_time * 1e3, 1),
+            "serving_default_latency_1utt_ms_p10_p90": [
+                round(lat_def_p10 * 1e3, 1), round(lat_def_p90 * 1e3, 1)],
+            "serving_default_audio_s_per_s": round(serve_def_throughput, 2),
+            "serving_default_1utt_samples": int(default_samples),
+            "serving_default_note": "max_steps omitted (the true app.py "
+                                    "default): length-adaptive decode "
+                                    "budget + attention/dB trim on. With "
+                                    "random weights the trims legitimately "
+                                    "cut most of the audio, so the "
+                                    "audio_s_per_s figure here measures "
+                                    "pipeline cost, not comparable "
+                                    "throughput — latency is the "
+                                    "meaningful number",
+            "serving_phase_budget_ms": phase_budget,
+            "serving_phase_note": "instrumented fast-preset batch-32 call "
+                                  "(collect_timings): device = on-chip "
+                                  "compute isolated by a 1-element probe "
+                                  "(incl one ~45ms tunnel round trip); "
+                                  "fetch = bulk int16 waveform transfer; "
+                                  "frontend/post = host text/unpack work",
             "fast_gla_audio_s_per_s": round(fast_throughput, 2),
             "fast_gla_batch_seconds": round(fast_time, 4),
             "fast_gla_config": {"iters": 30, "momentum": 0.99,
@@ -351,6 +422,20 @@ def main() -> None:
             "training_bf16_note": "compute_dtype=bfloat16 (params f32) — "
                                   "the recommended TPU setting; convergence "
                                   "equivalence in docs/BF16_STUDY.md",
+            "training_mfu_pct": round(train_mfu_pct, 2),
+            "training_bf16_mfu_pct": round(bf16_mfu_pct, 2),
+            "training_total_gflops_per_step": round(
+                tr_model["total_flops"] / 1e9, 1),
+            "training_sequential_scan_iterations": int(
+                tr_model["sequential_iterations_total"]),
+            "training_roofline_note": "MFU vs the 197 TFLOP/s v5e bf16 "
+                                      "peak; bf16 buying only a few % and "
+                                      "MFU/HBM both <15% => the step is "
+                                      "bound by sequential scan-iteration "
+                                      "latency, not matmuls or bandwidth "
+                                      "(full study: "
+                                      "scripts/train_roofline.py, "
+                                      "TRAIN_ROOFLINE.json, docs/PERF.md)",
             "roofline": {
                 "gl_matmul_tflop_per_batch": round(gl_flops / 1e12, 2),
                 "achieved_tflop_s_lower_bound": round(achieved_tflops, 1),

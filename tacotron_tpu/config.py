@@ -294,6 +294,45 @@ def load_config(path: str) -> Config:
         return Config.from_json(fh.read())
 
 
+def scale_model_widths(model: ModelConfig, factor: int) -> ModelConfig:
+    """The reference's ``SCALE_FACTOR`` width divider as a pure function
+    (``/root/reference/hparams.py:3-6``): every hidden width the reference
+    wraps in ``f()`` is divided by ``factor`` (speaker/char embeddings,
+    prenet/bank/proj/rnn/attention sizes — ``hparams.py:34-65``); output
+    dimensions (num_mels/num_freq) and structural counts (bank K, highway
+    depth, layers, r) are untouched, exactly as in the reference.  Use to
+    spin down a debug- or edge-sized model:
+
+        cfg.replace(model=scale_model_widths(cfg.model, 4))
+    """
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
+    def f(n: int) -> int:
+        return max(1, n // factor)
+
+    return dataclasses.replace(
+        model,
+        speaker_embedding_size=f(model.speaker_embedding_size),
+        embedding_size=f(model.embedding_size),
+        enc_prenet_sizes=tuple(f(n) for n in model.enc_prenet_sizes),
+        enc_bank_channel_size=f(model.enc_bank_channel_size),
+        enc_rnn_size=f(model.enc_rnn_size),
+        enc_proj_sizes=tuple(f(n) for n in model.enc_proj_sizes),
+        attention_size=f(model.attention_size),
+        attention_state_size=f(model.attention_state_size),
+        dec_rnn_size=f(model.dec_rnn_size),
+        dec_prenet_sizes=tuple(f(n) for n in model.dec_prenet_sizes),
+        post_bank_channel_size=f(model.post_bank_channel_size),
+        post_rnn_size=f(model.post_rnn_size),
+        # the last post projection must stay num_mels for the residual add
+        # (the reference hard-codes 80 there, hparams.py:65)
+        post_proj_sizes=tuple(
+            f(n) for n in model.post_proj_sizes[:-1]
+        ) + (model.post_proj_sizes[-1],),
+    )
+
+
 def tune_scan_unroll(config: Config, platform: str | None = None) -> Config:
     """TPU-tuned time-scan unrolling.
 

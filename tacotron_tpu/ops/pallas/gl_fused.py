@@ -56,15 +56,36 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# Scoped-VMEM budget for the fused iteration kernel.  The per-item stack
+# frame grows linearly with the frame count (frames/spectra/OLA buffers
+# all scale with T) on top of the 4 constant DFT matrices; the Mosaic
+# scoped-vmem limit is 16 MB.  Measured point: T=600 frames at the
+# reference geometry needs 19.26 MB (compile-time OOM) while T=201 fits
+# — the ~26 KB/frame coefficient below brackets both with margin.
+_VMEM_LIMIT_BYTES = 14 * 1024 * 1024
+_VMEM_PER_FRAME_BYTES = 26_000
+
+
+def _vmem_estimate(n_fft: int, n_frames: int) -> int:
+    M = n_fft // 2
+    ne, no = M // 2 + 1, M // 2
+    matrices = 2 * 2 * M * (_round_up(ne, LANE) + _round_up(no, LANE))
+    return matrices + n_frames * _VMEM_PER_FRAME_BYTES
+
+
 def fused_supported(config, n_frames: int) -> bool:
     """Shape preconditions for the fused kernel (the dispatch falls back
     to ``matmul_half`` otherwise): u/v decimation needs n_fft % 4 == 0,
-    the lane-aligned half split needs n_fft//2 % LANE == 0, and the
-    OLA shift headroom assumes hop-chunks-per-frame K0 <= PADK."""
+    the lane-aligned half split needs n_fft//2 % LANE == 0, the OLA shift
+    headroom assumes hop-chunks-per-frame K0 <= PADK, and the per-item
+    stack frame must fit the 16 MB scoped-VMEM budget — long decodes
+    (>~350 frames at the reference geometry, e.g. the 150/200-step rungs
+    of the length-adaptive serving ladder) route to ``matmul_half``."""
     n_fft, hop = config.n_fft, config.hop_length
     k0 = -(-n_fft // hop)
     return (n_fft % 4 == 0 and (n_fft // 2) % LANE == 0
-            and k0 - 1 <= PADK and n_frames >= 1 and hop >= 1)
+            and k0 - 1 <= PADK and n_frames >= 1 and hop >= 1
+            and _vmem_estimate(n_fft, n_frames) <= _VMEM_LIMIT_BYTES)
 
 
 @functools.lru_cache(maxsize=4)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -460,6 +461,7 @@ class Synthesizer:
                    token_bucket: int = 32,
                    return_alignments: bool = True,
                    fast_vocoder: bool = False,
+                   collect_timings: bool = False,
                    ) -> Dict[str, List[np.ndarray]]:
         """texts -> waveforms.
 
@@ -485,8 +487,18 @@ class Synthesizer:
         ``max_iters=200`` cap — short texts skip most of the decode+vocode
         cost; trimming behaves identically.  Pass ``max_steps`` explicitly
         to pin a fixed budget.
+
+        ``collect_timings=True`` (chip path) adds a ``timings`` dict to the
+        result splitting the call into phases — ``frontend`` (text ->
+        padded id batch), ``dispatch`` (async program launches),
+        ``device`` (on-chip compute, isolated by a 1-element probe fetch),
+        ``fetch`` (bulk waveform transfer over the host link), ``post``
+        (host-side unpack/trim) — the serving host-link budget.  The probe
+        sync costs one extra link round trip, so leave it off in
+        production.
         """
         assert self.variables is not None, "call load() or init_random()"
+        t_start = time.perf_counter() if collect_timings else 0.0
         cfg = self.config
         cleaners = [c.strip() for c in cfg.data.cleaners.split(",")]
         if sequences is None:
@@ -560,6 +572,8 @@ class Synthesizer:
         wavs: List[np.ndarray] = []
         aligns: List[np.ndarray] = []
         specs: Optional[List[np.ndarray]] = None
+        timings: Optional[Dict[str, float]] = None
+        t_frontend = time.perf_counter() if collect_timings else 0.0
 
         if vocode == "chip":
             # fused decode+trim+GL program; batch processed in chunks of
@@ -591,13 +605,24 @@ class Synthesizer:
                     None if c_spk is None else jnp.asarray(c_spk),
                     None if c_man is None else jnp.asarray(c_man),
                     is_manual)))
-            for lo, hi, (packed, al) in pending:
-                packed = np.asarray(packed)
+            if collect_timings:
+                t_dispatch = time.perf_counter()
+                # 1-element probe from the LAST chunk: chunks execute in
+                # dispatch order, so this returns only once every chunk's
+                # device compute is done, at ~no transfer cost — isolating
+                # on-chip compute from the bulk fetch that follows
+                float(pending[-1][2][0][0, 0])
+                t_device = time.perf_counter()
+            fetched = [(lo, hi, np.asarray(packed),
+                        np.asarray(al) if return_alignments else None)
+                       for lo, hi, (packed, al) in pending]
+            if collect_timings:
+                t_fetch = time.perf_counter()
+            for lo, hi, packed, al in fetched:
                 wav_i16, ends, denom_q = packed[:-2], packed[-2], packed[-1]
                 # undo the on-device peak normalization (dB*100 row) so the
                 # chip path returns true amplitudes like the host path
                 denom = 10.0 ** (denom_q.astype(np.float32) / 100.0 / 20.0)
-                al = np.asarray(al) if return_alignments else None
                 for i in range(hi - lo):
                     n_samples = min(wav_i16.shape[1], int(ends[i]) * hop)
                     wavs.append(wav_i16[i, :n_samples].astype(np.float32)
@@ -630,12 +655,26 @@ class Synthesizer:
         if librosa_trim and vocode != "none":
             wavs = [trim_silence_db(w) for w in wavs]
 
+        if collect_timings and vocode == "chip":
+            t_end = time.perf_counter()
+            timings = {
+                "frontend_ms": (t_frontend - t_start) * 1e3,
+                "dispatch_ms": (t_dispatch - t_frontend) * 1e3,
+                "device_ms": (t_device - t_dispatch) * 1e3,
+                "fetch_ms": (t_fetch - t_device) * 1e3,
+                "post_ms": (t_end - t_fetch) * 1e3,
+                "total_ms": (t_end - t_start) * 1e3,
+            }
+
         # NOTE: the fused chip path never materializes the spectrograms on
         # the host (that transfer is the serving bottleneck on tunneled
         # backends), so "linear" is None there; use vocode="host"/"none" if
         # you need the spectrograms.
-        return {"wavs": wavs, "alignments": aligns, "linear": specs,
-                "sequences": list(sequences)}
+        result = {"wavs": wavs, "alignments": aligns, "linear": specs,
+                  "sequences": list(sequences)}
+        if timings is not None:
+            result["timings"] = timings
+        return result
 
     def synthesize_robust(self, texts: Optional[Sequence[str]] = None,
                           sequences: Optional[Sequence[Sequence[int]]] = None,

@@ -74,3 +74,36 @@ def test_tune_scan_unroll():
     # platform=None resolves via jax (cpu in tests) without error
     auto = tune_scan_unroll(cfg)
     assert auto.model.rnn_unroll in (1, 8)
+
+
+def test_scale_model_widths():
+    """The reference's SCALE_FACTOR width divider (hparams.py:3-6) as a
+    pure function: widths divide, structure and output dims do not, and
+    the scaled model still builds and runs a forward pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from tacotron_tpu.config import ModelConfig, scale_model_widths
+    from tacotron_tpu.models.tacotron import Tacotron
+
+    base = ModelConfig()
+    assert scale_model_widths(base, 1) == base
+    s = scale_model_widths(base, 4)
+    assert s.embedding_size == 64
+    assert s.enc_prenet_sizes == (64, 32)
+    assert s.dec_rnn_size == 64
+    assert s.post_proj_sizes == (64, 80)   # last stays num_mels
+    assert s.num_mels == base.num_mels and s.num_freq == base.num_freq
+    assert s.enc_bank_size == base.enc_bank_size
+    assert s.reduction_factor == base.reduction_factor
+    with pytest.raises(ValueError):
+        scale_model_widths(base, 0)
+
+    model = Tacotron(s)
+    inputs = jnp.zeros((1, 8), jnp.int32)
+    lengths = jnp.full((1,), 8, jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), inputs, lengths,
+                           max_steps=2, train=False)
+    out = model.apply(variables, inputs, lengths, max_steps=2, train=False)
+    assert out["linear_outputs"].shape == (1, 2 * s.reduction_factor,
+                                           s.num_freq)

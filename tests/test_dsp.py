@@ -438,6 +438,11 @@ def test_griffin_lim_fused_engine():
     assert corr > 0.999, corr
     assert 0.95 < wb[interior].std() / wa[interior].std() < 1.05
 
+    # long decodes exceed the kernel's scoped-VMEM budget and must fall
+    # back (a 150-step adaptive-ladder decode = 600 frames OOMed the
+    # Mosaic compile before this bound existed)
+    assert not fused_supported(cfg_fused, 600)
+
     # unsupported shapes fall back to matmul_half instead of erroring:
     # n_fft = 576 breaks the lane-aligned half-split precondition
     cfg_odd = dataclasses.replace(

@@ -316,3 +316,28 @@ def test_synthesize_default_steps_are_length_adaptive():
     t_dec = res["alignments"][0].shape[1]
     assert t_dec == 50, t_dec
     assert res["linear"][0].shape[0] == 50 * r
+
+
+def test_synthesize_collect_timings():
+    """The serving phase budget (frontend/dispatch/device/fetch/post) is
+    reported when requested and sums to the total."""
+    cfg = Config()
+    cfg = cfg.replace(model=ModelConfig(
+        embedding_size=32, enc_prenet_sizes=(32, 16), enc_bank_size=4,
+        enc_bank_channel_size=16, enc_highway_depth=2, enc_rnn_size=16,
+        enc_proj_sizes=(16, 16), attention_size=16, attention_state_size=16,
+        dec_layer_num=2, dec_rnn_size=16, dec_prenet_sizes=(16, 8),
+        post_bank_size=2, post_bank_channel_size=16, post_highway_depth=2,
+        post_rnn_size=16, post_proj_sizes=(16, 80)))
+    synth = Synthesizer().init_random(cfg)
+    res = synth.synthesize(texts=["안녕하세요"], max_steps=6,
+                           attention_trim=False, librosa_trim=False,
+                           fast_vocoder=True, return_alignments=False,
+                           collect_timings=True)
+    t = res["timings"]
+    assert set(t) == {"frontend_ms", "dispatch_ms", "device_ms",
+                      "fetch_ms", "post_ms", "total_ms"}
+    parts = (t["frontend_ms"] + t["dispatch_ms"] + t["device_ms"]
+             + t["fetch_ms"] + t["post_ms"])
+    assert abs(parts - t["total_ms"]) < 1.0
+    assert len(res["wavs"]) == 1 and len(res["wavs"][0]) > 0

@@ -269,3 +269,61 @@ def test_podcast_feed_selection(tmp_path):
     assert [os.path.basename(p) for p in paths] == ["20170501.mp4",
                                                     "20170502.mp4"]
     assert open(paths[0], "rb").read().startswith(b"AUDIO:")
+
+
+class TestDurations:
+    """Multi-format duration parsing (the reference's TinyTag coverage,
+    /root/reference/audio/get_duration.py:14-56) on synthetic files."""
+
+    def test_mp3_cbr_estimate(self, tmp_path):
+        from tacotron_tpu.tools.duration import mp3_duration
+        # MPEG-1 Layer III, 128 kbps, 44100 Hz: frame = 417 bytes
+        header = bytes([0xFF, 0xFB, 0x90, 0x00])
+        frame = header + bytes(413)
+        path = tmp_path / "t.mp3"
+        path.write_bytes(frame * 10)
+        got = mp3_duration(str(path))
+        assert abs(got - 10 * 417 * 8 / 128000) < 1e-6
+
+    def test_mp3_id3_skip_and_xing(self, tmp_path):
+        import struct
+        from tacotron_tpu.tools.duration import mp3_duration
+        tag_body = bytes(64)
+        id3 = b"ID3" + bytes([3, 0, 0]) + bytes(
+            [0, 0, len(tag_body) >> 7 & 0x7F, len(tag_body) & 0x7F])
+        header = bytes([0xFF, 0xFB, 0x90, 0x00])
+        xing = (bytes(32) + b"Xing" + struct.pack(">I", 1)
+                + struct.pack(">I", 100))
+        frame = (header + xing + bytes(417 - 4 - len(xing)))
+        path = tmp_path / "v.mp3"
+        path.write_bytes(id3 + tag_body + frame + bytes(4170))
+        got = mp3_duration(str(path))
+        assert abs(got - 100 * 1152 / 44100) < 1e-6
+
+    def test_m4a_mvhd(self, tmp_path):
+        import struct
+        from tacotron_tpu.tools.duration import m4a_duration
+        mvhd_body = (bytes([0]) + bytes(3) + bytes(8)          # v0 + dates
+                     + struct.pack(">I", 1000)                 # timescale
+                     + struct.pack(">I", 2500) + bytes(80))    # duration
+        mvhd = struct.pack(">I4s", 8 + len(mvhd_body), b"mvhd") + mvhd_body
+        moov = struct.pack(">I4s", 8 + len(mvhd), b"moov") + mvhd
+        ftyp = struct.pack(">I4s", 16, b"ftyp") + b"M4A " + bytes(4)
+        path = tmp_path / "t.m4a"
+        path.write_bytes(ftyp + moov)
+        assert abs(m4a_duration(str(path)) - 2.5) < 1e-9
+
+    def test_dispatch_and_totals(self, tmp_path):
+        import numpy as np
+        from tacotron_tpu.config import AudioConfig
+        from tacotron_tpu.dsp import host as dsp
+        from tacotron_tpu.tools.duration import audio_duration, get_durations
+        cfg = AudioConfig(sample_rate=8000)
+        wav = tmp_path / "a.wav"
+        dsp.save_audio(np.zeros(8000, np.float32), str(wav), cfg)
+        assert abs(audio_duration(str(wav)) - 1.0) < 1e-6
+        header = bytes([0xFF, 0xFB, 0x90, 0x00])
+        (tmp_path / "b.mp3").write_bytes((header + bytes(413)) * 4)
+        durations = get_durations([str(wav), str(tmp_path / "b.mp3"),
+                                   str(tmp_path / "missing.wav")])
+        assert len(durations) == 2
