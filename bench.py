@@ -314,6 +314,57 @@ def main() -> None:
     bf16_time, _, _ = _timed(train_chain_bf16, reps=5, warmup=2)
     bf16_frames_per_s = NB * T_OUT * CHAIN / bf16_time
 
+    # ---- real per-step H2D cost: a live trainer ships a FRESH batch every
+    # step (the resident-batch figures above hide that).  Two pipelines:
+    # precomputed f32 spectrogram targets (the reference's .npz contract)
+    # vs int16 waveforms + on-device feature extraction
+    # (TrainConfig.on_device_features) — 7.4x fewer bytes over the link.
+    hop = cfg.audio.hop_length
+    host_spec_batches = [
+        Batch(inputs=inputs[:NB], input_lengths=lengths[:NB],
+              loss_coeff=np.ones((NB,), np.float32),
+              mel_targets=rng_np.random((NB, T_OUT, 80)).astype(np.float32),
+              linear_targets=rng_np.random(
+                  (NB, T_OUT, 1025)).astype(np.float32),
+              speaker_id=np.zeros((NB,), np.int32),
+              target_lengths=np.full((NB,), T_OUT - 1, np.int32))
+        for _ in range(4)]
+    wav_cfg = train_cfg.replace(train=dataclasses.replace(
+        train_cfg.train, on_device_features=True))
+    host_wav_batches = [
+        b._replace(mel_targets=None, linear_targets=None,
+                   waveforms=(rng_np.integers(
+                       -2000, 2000, (NB, (T_OUT - 1) * hop))
+                       .astype(np.int16)))
+        for b in host_spec_batches]
+    spec_bytes = sum(np.asarray(a).nbytes for a in host_spec_batches[0]
+                     if a is not None)
+    wav_bytes = sum(np.asarray(a).nbytes for a in host_wav_batches[0]
+                    if a is not None)
+    tstep_wav = make_train_step(wav_cfg)
+    state_wav = create_train_state(wav_cfg, jax.random.PRNGKey(0), opt)
+    wav_box = [state_wav]
+    FRESH = 10
+
+    def fresh_chain(batches, step_fn, box):
+        def run():
+            s = box[0]
+            m = None
+            for i in range(FRESH):
+                hb = jax.tree.map(jnp.asarray, batches[i % 4])
+                s, m = step_fn(s, hb, drng)
+            box[0] = s
+            float(m["param_norm"])
+        return run
+
+    run_spec = fresh_chain(host_spec_batches, tstep, state_box)
+    run_wav = fresh_chain(host_wav_batches, tstep_wav, wav_box)
+    run_spec(); run_wav()  # compile/warm
+    fresh_spec_time, _, _ = _timed(run_spec, reps=3, warmup=1)
+    fresh_wav_time, _, _ = _timed(run_wav, reps=3, warmup=1)
+    fresh_spec_ms = fresh_spec_time / FRESH * 1e3
+    fresh_wav_ms = fresh_wav_time / FRESH * 1e3
+
     # ---- roofline accounting for the Griffin-Lim spectral step (the
     # dominant synthesis cost): the default "matmul_half" engine's DIF
     # split-bin matmuls (dsp/chip.py::_half_dft_matrices) per iteration
@@ -422,6 +473,16 @@ def main() -> None:
             "training_bf16_note": "compute_dtype=bfloat16 (params f32) — "
                                   "the recommended TPU setting; convergence "
                                   "equivalence in docs/BF16_STUDY.md",
+            "training_fresh_batch_step_ms": round(fresh_spec_ms, 2),
+            "training_fresh_batch_waveform_step_ms": round(fresh_wav_ms, 2),
+            "training_fresh_batch_bytes": [int(spec_bytes), int(wav_bytes)],
+            "training_fresh_batch_note":
+                "per-step time when every step ships a FRESH batch over "
+                "the host link, as train/driver.py really does "
+                "(resident-batch figures above hide it): precomputed f32 "
+                "spectrogram targets vs int16 waveforms + on-device "
+                "feature extraction (TrainConfig.on_device_features, "
+                "7.4x fewer bytes)",
             "training_mfu_pct": round(train_mfu_pct, 2),
             "training_bf16_mfu_pct": round(bf16_mfu_pct, 2),
             "training_total_gflops_per_step": round(

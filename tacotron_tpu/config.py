@@ -170,6 +170,14 @@ class TrainConfig:
     guided_attention_weight: float = 0.0
     guided_attention_sigma: float = 0.2
 
+    # On-device feature extraction: the feeder ships int16 waveforms and
+    # the train step computes mel/linear targets on chip
+    # (dsp.chip.features_from_waveform) — 7.4x less host->device traffic
+    # per step than precomputed f32 spectrograms.  Requires a corpus built
+    # with DataConfig.store_waveform.  Off by default for exact loss
+    # parity with the reference's precomputed-target pipeline.
+    on_device_features: bool = False
+
     initial_data_greedy: bool = True
     initial_phase_step: int = 8000
     main_data_greedy_factor: float = 0.0
@@ -204,6 +212,10 @@ class DataConfig:
     # program (no per-bucket recompiles, ~15 s each on TPU) at the cost of
     # more padding FLOPs. Worth it when utterance lengths are homogeneous.
     pad_to_corpus_max: bool = False
+    # Also store the int16 waveform in each built .npz (schema-compatible
+    # extra key "wav") so training can use on-device feature extraction
+    # (TrainConfig.on_device_features).
+    store_waveform: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

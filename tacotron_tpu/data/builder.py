@@ -92,21 +92,32 @@ def resolve_loss_coeffs(
 
 def process_utterance(audio_path: str, out_path: str, tokens: Sequence[int],
                       loss_coeff: float,
-                      audio_config: AudioConfig) -> Optional[int]:
-    """Analyze one utterance to .npz; returns its frame count."""
+                      audio_config: AudioConfig,
+                      store_waveform: bool = False) -> Optional[int]:
+    """Analyze one utterance to .npz; returns its frame count.
+
+    ``store_waveform`` additionally stores the int16 waveform under the
+    (schema-compatible) extra key ``wav`` so training can extract
+    features on device (TrainConfig.on_device_features).
+    """
     if os.path.exists(out_path):
         try:
             with np.load(out_path) as data:
-                return int(data["linear"].shape[0])
+                if not store_waveform or "wav" in data:
+                    return int(data["linear"].shape[0])
         except Exception:
             os.remove(out_path)
     wav = dsp.load_audio(audio_path, audio_config)
     linear = dsp.spectrogram(wav, audio_config).astype(np.float32)  # [F, T]
     mel = dsp.melspectrogram(wav, audio_config).astype(np.float32)  # [M, T]
+    extra = {}
+    if store_waveform:
+        extra["wav"] = np.clip(wav * 32767.0, -32768,
+                               32767).astype(np.int16)
     np.savez(out_path,
              linear=linear.T, mel=mel.T,
              tokens=np.asarray(tokens, np.int32),
-             loss_coeff=np.float32(loss_coeff))
+             loss_coeff=np.float32(loss_coeff), **extra)
     return int(linear.shape[1])
 
 
@@ -149,14 +160,16 @@ def build_from_path(metadata_path: str, config: Config,
     if num_workers is not None and num_workers <= 1:
         for audio_path, out_path, tokens, coeff in jobs:
             n = process_utterance(audio_path, out_path, tokens, coeff,
-                                  config.audio)
+                                  config.audio,
+                                  config.data.store_waveform)
             if n is not None:
                 n_frames.append(n)
     else:
         with ProcessPoolExecutor(max_workers=num_workers) as pool:
             futures = [
                 pool.submit(process_utterance, audio_path, out_path, tokens,
-                            coeff, config.audio)
+                            coeff, config.audio,
+                            config.data.store_waveform)
                 for audio_path, out_path, tokens, coeff in jobs]
             for fut in futures:
                 n = fut.result()
@@ -179,10 +192,18 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     parser.add_argument("--num_workers", type=int, default=None)
     parser.add_argument("--config", default=None,
                         help="path to a config.json (defaults to built-ins)")
+    parser.add_argument("--store_waveform", action="store_true",
+                        help="also store the int16 waveform per utterance "
+                             "(enables on-device feature extraction, "
+                             "TrainConfig.on_device_features)")
     args = parser.parse_args(argv)
 
     from ..config import load_config
     config = load_config(args.config) if args.config else Config()
+    if args.store_waveform:
+        import dataclasses as _dc
+        config = config.replace(
+            data=_dc.replace(config.data, store_waveform=True))
     stats = build_from_path(args.metadata_path, config,
                             data_dirname=args.data_dirname,
                             num_workers=args.num_workers)

@@ -41,6 +41,10 @@ from ..train.step import Batch
 PAD = 0
 
 
+class CorpusFormatError(ValueError):
+    """The corpus on disk lacks what the configured pipeline needs."""
+
+
 def _round_up(x: int, multiple: int) -> int:
     r = x % multiple
     return x if r == 0 else x + multiple - r
@@ -50,13 +54,20 @@ def _round_up(x: int, multiple: int) -> int:
 class Example:
     tokens: np.ndarray
     loss_coeff: float
-    mel: np.ndarray
-    linear: np.ndarray
+    mel: Optional[np.ndarray]
+    linear: Optional[np.ndarray]
     speaker_id: int
+    # waveform mode (TrainConfig.on_device_features): int16 samples are
+    # shipped instead of spectrograms; frame count comes from the sample
+    # count (same formula the builder's STFT used)
+    wav: Optional[np.ndarray] = None
+    hop_length: int = 0
 
     @property
     def n_frames(self) -> int:
-        return self.linear.shape[0]
+        if self.linear is not None:
+            return self.linear.shape[0]
+        return 1 + len(self.wav) // self.hop_length
 
 
 def scan_data_dirs(data_dirs: Sequence[str], config: Config,
@@ -142,6 +153,9 @@ class DataFeeder:
         self.batch_size = batch_size or config.train.batch_size
         self.rng = np.random.RandomState(seed)
         self._step = start_step
+        # on-device feature extraction: ship int16 waveforms, not
+        # precomputed spectrograms (TrainConfig.on_device_features)
+        self.emit_waveforms = config.train.on_device_features
 
         self.corpus_max: dict = {}
         self.length_records: list = []
@@ -201,6 +215,21 @@ class DataFeeder:
             self._offsets[data_dir] += 1
             try:
                 with np.load(path) as data:
+                    if self.emit_waveforms:
+                        if "wav" not in data:
+                            raise CorpusFormatError(
+                                f"{path} has no 'wav' key: "
+                                "TrainConfig.on_device_features needs a "
+                                "corpus built with "
+                                "DataConfig.store_waveform")
+                        return Example(
+                            tokens=np.asarray(data["tokens"], np.int32),
+                            loss_coeff=float(data["loss_coeff"])
+                            if "loss_coeff" in data else 1.0,
+                            mel=None, linear=None,
+                            speaker_id=self.dir_to_id[data_dir],
+                            wav=np.asarray(data["wav"], np.int16),
+                            hop_length=self.config.audio.hop_length)
                     return Example(
                         tokens=np.asarray(data["tokens"], np.int32),
                         loss_coeff=float(data["loss_coeff"])
@@ -208,6 +237,8 @@ class DataFeeder:
                         mel=np.asarray(data["mel"], np.float32),
                         linear=np.asarray(data["linear"], np.float32),
                         speaker_id=self.dir_to_id[data_dir])
+            except CorpusFormatError:
+                raise  # a config error, not a corrupt file — surface it
             except Exception:
                 continue  # corrupt file: skip (datafeeder.py:260-267)
 
@@ -274,19 +305,36 @@ class DataFeeder:
         inputs = np.full((n, tok_len), PAD, np.int32)
         input_lengths = np.zeros((n,), np.int32)
         loss_coeff = np.zeros((n,), np.float32)
-        mel = np.zeros((n, frame_len, examples[0].mel.shape[1]), np.float32)
-        linear = np.zeros((n, frame_len, examples[0].linear.shape[1]),
-                          np.float32)
         speaker = np.zeros((n,), np.int32)
         target_lengths = np.zeros((n,), np.int32)
         for i, e in enumerate(examples):
             inputs[i, :len(e.tokens)] = e.tokens
             input_lengths[i] = len(e.tokens)
             loss_coeff[i] = e.loss_coeff
-            mel[i, :e.n_frames] = e.mel
-            linear[i, :e.n_frames] = e.linear
             speaker[i] = e.speaker_id
             target_lengths[i] = e.n_frames
+
+        if self.emit_waveforms:
+            # ship int16 samples; the train step extracts features on
+            # device (dsp.chip.features_from_waveform).  (frame_len - 1)
+            # * hop samples yield exactly frame_len STFT frames; the
+            # zero-padded tail produces exactly-0.0 normalized frames,
+            # the same padding value the precomputed targets use.
+            hop = self.config.audio.hop_length
+            wavs = np.zeros((n, (frame_len - 1) * hop), np.int16)
+            for i, e in enumerate(examples):
+                wavs[i, :len(e.wav)] = e.wav
+            return Batch(inputs=inputs, input_lengths=input_lengths,
+                         loss_coeff=loss_coeff, mel_targets=None,
+                         linear_targets=None, speaker_id=speaker,
+                         target_lengths=target_lengths, waveforms=wavs)
+
+        mel = np.zeros((n, frame_len, examples[0].mel.shape[1]), np.float32)
+        linear = np.zeros((n, frame_len, examples[0].linear.shape[1]),
+                          np.float32)
+        for i, e in enumerate(examples):
+            mel[i, :e.n_frames] = e.mel
+            linear[i, :e.n_frames] = e.linear
         return Batch(inputs=inputs, input_lengths=input_lengths,
                      loss_coeff=loss_coeff, mel_targets=mel,
                      linear_targets=linear, speaker_id=speaker,

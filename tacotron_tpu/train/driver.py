@@ -260,17 +260,25 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
 
 def _zero_batch(config: Config, n: int, tok_len: int,
                 frame_len: int) -> Batch:
-    """An all-zero batch of one bucket shape, for compile prewarming."""
-    return Batch(
+    """An all-zero batch of one bucket shape, for compile prewarming
+    (matching the waveform- or spectrogram-target pytree the feeder
+    emits, so the prewarmed program IS the training program)."""
+    common = dict(
         inputs=np.zeros((n, tok_len), np.int32),
         input_lengths=np.full((n,), tok_len, np.int32),
         loss_coeff=np.ones((n,), np.float32),
+        speaker_id=np.zeros((n,), np.int32),
+        target_lengths=np.full((n,), frame_len, np.int32))
+    if config.train.on_device_features:
+        hop = config.audio.hop_length
+        return Batch(mel_targets=None, linear_targets=None,
+                     waveforms=np.zeros((n, (frame_len - 1) * hop),
+                                        np.int16), **common)
+    return Batch(
         mel_targets=np.zeros((n, frame_len, config.model.num_mels),
                              np.float32),
         linear_targets=np.zeros((n, frame_len, config.model.num_freq),
-                                np.float32),
-        speaker_id=np.zeros((n,), np.int32),
-        target_lengths=np.full((n,), frame_len, np.int32))
+                                np.float32), **common)
 
 
 def _dump_samples(state: TrainState, batch: Batch, config: Config,
@@ -282,11 +290,19 @@ def _dump_samples(state: TrainState, batch: Batch, config: Config,
     os.makedirs(out_dir, exist_ok=True)
     model = create_model(config)
     speaker = (batch.speaker_id if config.model.num_speakers > 1 else None)
+    mel_targets = batch.mel_targets
+    if mel_targets is None and batch.waveforms is not None:
+        import jax.numpy as jnp
+
+        from ..dsp.chip import features_from_waveform
+        _, mel_targets = features_from_waveform(
+            jnp.asarray(batch.waveforms[:n], jnp.float32) / 32767.0,
+            config.audio)
     out = model.apply(
         {"params": state.params, "batch_stats": state.batch_stats},
         batch.inputs[:n], batch.input_lengths[:n],
         speaker_id=None if speaker is None else speaker[:n],
-        mel_targets=batch.mel_targets[:n], train=False)
+        mel_targets=mel_targets[:n], train=False)
     linear = np.asarray(out["linear_outputs"][0])
     align = np.asarray(out["alignments"][0])
     wav = dsp_host.inv_spectrogram(linear.T, config.audio)

@@ -45,10 +45,20 @@ class Batch(NamedTuple):
     # true frame counts before padding; enables reference-equivalent loss
     # normalization under bucket padding (see train/losses.py docstring)
     target_lengths: Optional[jnp.ndarray] = None  # [N] int32
+    # int16 waveforms [N, (T_out-1)*hop] for on-device feature extraction
+    # (TrainConfig.on_device_features); mel/linear_targets are None then
+    waveforms: Optional[jnp.ndarray] = None
 
 
 def _forward_loss(model: Tacotron, config: Config, params, batch_stats,
                   batch: Batch, dropout_rng, train: bool):
+    if config.train.on_device_features and batch.waveforms is not None:
+        # on-device feature extraction: int16 waveforms -> mel/linear
+        # targets on chip (7.4x less H2D than precomputed spectrograms)
+        from ..dsp.chip import features_from_waveform
+        wav = batch.waveforms.astype(jnp.float32) / 32767.0
+        linear_t, mel_t = features_from_waveform(wav, config.audio)
+        batch = batch._replace(mel_targets=mel_t, linear_targets=linear_t)
     variables = {"params": params, "batch_stats": batch_stats}
     speaker = batch.speaker_id if config.model.num_speakers > 1 else None
     if train:

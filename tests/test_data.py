@@ -361,3 +361,80 @@ def test_make_synthetic_corpus_feeds_builder(tmp_path):
     assert stats.num_built == 2
     files = os.listdir(os.path.join(out, "spk0", "data"))
     assert len(files) == 2
+
+
+def test_on_device_features_pipeline(tmp_path):
+    """The waveform training path (DataConfig.store_waveform +
+    TrainConfig.on_device_features): the builder stores int16 wavs, the
+    feeder ships them instead of spectrograms (7.4x less H2D), the train
+    step extracts features on device — and the loss matches the
+    precomputed-target path on the same utterances."""
+    import dataclasses
+
+    import jax
+
+    from tacotron_tpu.data.feeder import CorpusFormatError, DataFeeder
+    from tacotron_tpu.train import (Batch, create_train_state,
+                                    make_optimizer, make_train_step)
+
+    meta = _make_corpus(str(tmp_path / "spk0"), n=6)
+    base = _tiny_config()
+    wav_cfg = base.replace(
+        data=dataclasses.replace(base.data, store_waveform=True),
+        train=dataclasses.replace(base.train, on_device_features=True))
+    build_from_path(meta, wav_cfg, num_workers=1)
+
+    feeder = DataFeeder([str(tmp_path / "spk0" / "data")], wav_cfg,
+                        data_type="train", batch_size=2, n_test=1)
+    batch = next(feeder.batches())
+    assert batch.mel_targets is None and batch.linear_targets is None
+    assert batch.waveforms.dtype == np.int16
+    hop = wav_cfg.audio.hop_length
+    frame_len = batch.waveforms.shape[1] // hop + 1
+    assert batch.waveforms.shape == (2, (frame_len - 1) * hop)
+
+    # loss equivalence vs the precomputed-target path on the same batch
+    opt = make_optimizer(wav_cfg.train)
+    state = create_train_state(wav_cfg, jax.random.PRNGKey(0), opt)
+    step_wav = make_train_step(wav_cfg)
+    _, m_wav = step_wav(state, batch, jax.random.PRNGKey(1))
+
+    # exact contract: the on-device features equal host features of the
+    # SAME padded int16 waveforms — so the loss must match tightly when
+    # the precomputed targets are built from them
+    from tacotron_tpu.dsp import host as dsp_host
+    wav_f = batch.waveforms.astype(np.float32) / 32767.0
+    mel_t = np.stack([dsp_host.melspectrogram(w, base.audio).T
+                      for w in wav_f])
+    lin_t = np.stack([dsp_host.spectrogram(w, base.audio).T
+                      for w in wav_f])
+    same_targets = batch._replace(waveforms=None,
+                                  mel_targets=mel_t.astype(np.float32),
+                                  linear_targets=lin_t.astype(np.float32))
+    state2 = create_train_state(base, jax.random.PRNGKey(0), opt)
+    step_spec = make_train_step(base)
+    _, m_same = step_spec(state2, same_targets, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m_wav["loss"]),
+                               float(m_same["loss"]), rtol=2e-3)
+
+    # vs the builder's stored targets: only the utterance-final frames
+    # (zero-pad vs reflect-pad analysis context) and int16 quantization
+    # differ — a bounded deviation on these very short test utterances,
+    # documented in dsp.chip.features_from_waveform
+    spec_feeder = DataFeeder([str(tmp_path / "spk0" / "data")], base,
+                             data_type="train", batch_size=2, n_test=1)
+    spec_batch = next(spec_feeder.batches())
+    # same files in the same order (same seed/striping): tokens identical
+    np.testing.assert_array_equal(spec_batch.inputs, batch.inputs)
+    state3 = create_train_state(base, jax.random.PRNGKey(0), opt)
+    _, m_spec = step_spec(state3, spec_batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m_wav["loss"]),
+                               float(m_spec["loss"]), rtol=0.15)
+
+    # a corpus without wavs + on_device_features is a config error
+    meta2 = _make_corpus(str(tmp_path / "spk1"), n=6)
+    build_from_path(meta2, base, num_workers=1)
+    bad = DataFeeder([str(tmp_path / "spk1" / "data")], wav_cfg,
+                     data_type="train", batch_size=2, n_test=1)
+    with pytest.raises(CorpusFormatError):
+        next(bad.batches())

@@ -455,3 +455,39 @@ def test_griffin_lim_fused_engine():
         mag_odd, 7 * cfg_odd.hop_length, cfg_odd))
     assert w_odd.shape == (1, 7 * cfg_odd.hop_length)
     assert np.isfinite(w_odd).all()
+
+
+def test_features_from_waveform_matches_host():
+    """On-device feature extraction (the 7.4x-less-H2D training path)
+    reproduces the builder's host targets; the zero-padded tail yields
+    exactly-0.0 normalized frames (the padding value targets use)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    wav = (0.4 * np.sin(2 * np.pi * 220 * np.arange(24000) / 24000)
+           + 0.05 * rng.standard_normal(24000)).astype(np.float32)
+    cfg = CFG
+    hop = cfg.hop_length
+    T_true = 1 + len(wav) // hop
+    frame_len = T_true + 9  # pad to a larger bucket
+    padded = np.zeros(((frame_len - 1) * hop,), np.float32)
+    padded[:len(wav)] = wav
+
+    linear, mel = chip.features_from_waveform(jnp.asarray(padded)[None],
+                                              cfg)
+    assert linear.shape == (1, frame_len, cfg.num_freq)
+    assert mel.shape == (1, frame_len, cfg.num_mels)
+
+    want_lin = host.spectrogram(wav, cfg).T   # [T, F]
+    want_mel = host.melspectrogram(wav, cfg).T
+    # interior frames identical (final ~n_fft/2/hop frames see zero-pad
+    # instead of reflect-pad context; they are padding frames anyway)
+    edge = cfg.n_fft // (2 * hop) + 1
+    sl = slice(0, T_true - edge)
+    np.testing.assert_allclose(np.asarray(linear[0])[sl], want_lin[sl],
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(mel[0])[sl], want_mel[sl],
+                               atol=2e-4)
+    # zero-padded tail -> exactly 0.0 normalized frames
+    tail = np.asarray(linear[0])[T_true + edge:]
+    np.testing.assert_array_equal(tail, np.zeros_like(tail))
