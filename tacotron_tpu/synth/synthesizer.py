@@ -49,13 +49,16 @@ def _model_for(config: Config) -> Tacotron:
 # (``/root/reference/models/tacotron.py:210``).
 STEP_LADDER = (50, 100, 150, 200)
 
-# Decoder steps per input token, with headroom.  Grounding: one decoder
-# step emits r=4 frames = 50 ms; a Korean jamo token averages ~80-120 ms
-# of speech (the reference corpus filter admits 120..796 frames for >= 50
-# tokens, ``datasets/datafeeder.py:97-98`` — at most ~2 steps/token), so
-# 2.0 is ~1.5-2x real speaking rate.  Attention trimming removes the
-# surplus tail exactly as it does at the full 200-step decode.
-STEPS_PER_TOKEN = 2.0
+# Decoder steps per input token.  Sized to the corpus filter's admitted
+# WORST case, not typical speaking rate: the reference admits up to
+# ``r*max_iters - r = 796`` frames (199 steps) for utterances at the
+# ``min_tokens = 50`` bound (``datasets/datafeeder.py:97-98``,
+# ``hparams.py:139-141``) — ~4 steps/token — so with 4.0 no utterance the
+# reference could train on can be truncated relative to its own 200-step
+# decode cap.  Typical Korean speech runs ~2 steps/jamo, so short texts
+# still skip most of the budget; texts >= 50 tokens get the full cap,
+# exactly the pre-adaptive behavior.
+STEPS_PER_TOKEN = 4.0
 
 
 def adaptive_max_steps(num_tokens: int, min_iters: int, max_iters: int,
@@ -415,8 +418,10 @@ class Synthesizer:
 
         With ``max_steps=None`` each token bucket is prewarmed at every
         decode-step rung :func:`adaptive_max_steps` can choose for texts
-        that land in it (texts of 1..bucket tokens), matching the
-        length-adaptive serving default.
+        that actually route to it — batches land in bucket ``b`` only
+        when their longest text exceeds the previous bucket, so rungs
+        reachable only from shorter texts are not compiled (a full
+        decode+GL program costs ~15 s of XLA compile each).
 
         Returns the number of programs executed (compiled or cache-hit).
         """
@@ -424,16 +429,16 @@ class Synthesizer:
         cfg = self.config
         spk_on = cfg.model.num_speakers > 1
         n = 0
-        for bucket in token_buckets:
+        buckets = sorted(token_buckets)
+        for i, bucket in enumerate(buckets):
             if max_steps is not None:
                 step_set = [max_steps]
             else:
-                cap = adaptive_max_steps(bucket, cfg.data.min_iters,
-                                         cfg.model.max_iters)
+                lo = buckets[i - 1] + 1 if i > 0 else 1
                 step_set = sorted({
                     adaptive_max_steps(t, cfg.data.min_iters,
                                        cfg.model.max_iters)
-                    for t in range(1, bucket + 1)} | {cap})
+                    for t in range(lo, bucket + 1)})
             for steps in step_set:
                 fn = self._fused(bucket, steps, manual=False,
                                  trim=attention_trim, fast=fast_vocoder)

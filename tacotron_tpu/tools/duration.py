@@ -41,15 +41,19 @@ _MP3_RATES = {3: (44100, 48000, 32000),   # MPEG-1
 def mp3_duration(path: str) -> float:
     """mp3 duration from the first frame header: Xing/Info frame count
     when present (VBR-exact), else a CBR estimate from the bitrate."""
-    with open(path, "rb") as f:
-        data = f.read(256 * 1024)
     size = os.path.getsize(path)
-    start = 0
-    if data[:3] == b"ID3":  # skip ID3v2 tag (syncsafe 28-bit size)
-        tag = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
-               | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
-        start = 10 + tag
-    pos = start
+    with open(path, "rb") as f:
+        head = f.read(10)
+        start = 0
+        if head[:3] == b"ID3":  # skip ID3v2 tag (syncsafe 28-bit size) —
+            # seek past it however large (cover art can run to megabytes)
+            tag = ((head[6] & 0x7F) << 21 | (head[7] & 0x7F) << 14
+                   | (head[8] & 0x7F) << 7 | (head[9] & 0x7F))
+            start = 10 + tag
+        f.seek(start)
+        data = f.read(256 * 1024)
+    pos = 0
+    start_offset = start
     while pos + 4 <= len(data):
         b0, b1, b2, _ = data[pos:pos + 4]
         if b0 == 0xFF and (b1 & 0xE0) == 0xE0:
@@ -75,7 +79,7 @@ def mp3_duration(path: str) -> float:
                             frames = struct.unpack(
                                 ">I", window[i + 8:i + 12])[0]
                             return frames * samples_per_frame / sample_rate
-                return (size - pos) * 8.0 / bitrate
+                return (size - start_offset - pos) * 8.0 / bitrate
         pos += 1
     raise ValueError(f"{path}: no MPEG audio frame found")
 
@@ -120,11 +124,14 @@ def m4a_duration(path: str) -> float:
 
 
 def audio_duration(path: str) -> float:
-    """Duration of a wav/mp3/m4a/mp4 file by extension (wav fallback)."""
+    """Duration of a wav/mp3/m4a/mp4 file by extension (wav fallback).
+
+    Raw ADTS ``.aac`` streams are deliberately NOT claimed: they carry no
+    container duration and would need per-frame scanning."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".mp3":
         return mp3_duration(path)
-    if ext in (".m4a", ".mp4", ".aac", ".mov"):
+    if ext in (".m4a", ".mp4", ".mov"):
         return m4a_duration(path)
     return wav_duration(path)
 

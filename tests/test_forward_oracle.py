@@ -113,12 +113,16 @@ def _run_case(shape, model_type, emb, attention_type="bah_mon", seed=0):
             err_msg=f"{model_type}/emb{emb}/{attention_type} greedy {key}")
 
 
-@pytest.mark.parametrize("model_type,emb", [
-    ("single", 16), ("deepvoice", 16), ("deepvoice", 1), ("simple", 16)])
+@pytest.mark.parametrize("model_type,emb,seed", [
+    ("single", 16, 101), ("deepvoice", 16, 202), ("deepvoice", 1, 303),
+    ("simple", 16, 404)])
 @pytest.mark.parametrize("shape", [SHAPE_A, SHAPE_B],
                          ids=["shapeA", "shapeB"])
-def test_forward_matches_numpy_oracle(shape, model_type, emb):
-    _run_case(shape, model_type, emb, seed=hash((model_type, emb)) % 1000)
+def test_forward_matches_numpy_oracle(shape, model_type, emb, seed):
+    # fixed literal seeds: str hash() is salted per process, which would
+    # make the drawn weights (and thus any tolerance-boundary behavior)
+    # unreproducible across runs
+    _run_case(shape, model_type, emb, seed=seed)
 
 
 @pytest.mark.parametrize("attention_type",

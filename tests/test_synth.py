@@ -284,13 +284,17 @@ def test_adaptive_max_steps_ladder():
     budget (rounded up a fixed ladder), long texts the reference cap."""
     from tacotron_tpu.synth.synthesizer import (STEP_LADDER,
                                                 adaptive_max_steps)
-    # short text: 2.0 steps/token, clipped to min_iters, rounded to 50
+    # short text: 4.0 steps/token (the corpus filter's admitted worst
+    # case), clipped to min_iters, rounded up the rung ladder
     assert adaptive_max_steps(10, 30, 200) == 50
-    assert adaptive_max_steps(25, 30, 200) == 50
-    assert adaptive_max_steps(26, 30, 200) == 100
-    assert adaptive_max_steps(60, 30, 200) == 150
-    assert adaptive_max_steps(80, 30, 200) == 200
-    # beyond the ladder: the reference decode cap, never more
+    assert adaptive_max_steps(12, 30, 200) == 50
+    assert adaptive_max_steps(13, 30, 200) == 100
+    assert adaptive_max_steps(25, 30, 200) == 100
+    assert adaptive_max_steps(30, 30, 200) == 150
+    assert adaptive_max_steps(40, 30, 200) == 200
+    # at/after the reference's min_tokens bound: its full decode cap —
+    # no admissible utterance can be truncated vs the reference
+    assert adaptive_max_steps(50, 30, 200) == 200
     assert adaptive_max_steps(500, 30, 200) == 200
     # a caller-lowered cap wins over every rung
     assert adaptive_max_steps(500, 30, 80) == 80

@@ -288,9 +288,13 @@ class TestDurations:
     def test_mp3_id3_skip_and_xing(self, tmp_path):
         import struct
         from tacotron_tpu.tools.duration import mp3_duration
-        tag_body = bytes(64)
+        # a cover-art-sized ID3v2 tag (larger than the 256 KB scan
+        # buffer) must be seeked past, not scanned through
+        n = 300 * 1024
+        tag_body = bytes(n)
         id3 = b"ID3" + bytes([3, 0, 0]) + bytes(
-            [0, 0, len(tag_body) >> 7 & 0x7F, len(tag_body) & 0x7F])
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+             (n >> 7) & 0x7F, n & 0x7F])
         header = bytes([0xFF, 0xFB, 0x90, 0x00])
         xing = (bytes(32) + b"Xing" + struct.pack(">I", 1)
                 + struct.pack(">I", 100))
