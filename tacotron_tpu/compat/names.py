@@ -79,7 +79,8 @@ class Rule:
         self.tf_shape = tf_shape
 
 
-def _cbhg_rules(key: str, bank_size: int, dim_fix: bool) -> List[Rule]:
+def _cbhg_rules(key: str, bank_size: int, dim_fix: bool,
+                highway_depth: int = 4, proj_count: int = 2) -> List[Rule]:
     """CBHG scope rules (reference ``models/modules.py:27-131``)."""
     base = f"model/inference/{key}"
     rules: List[Rule] = []
@@ -100,7 +101,7 @@ def _cbhg_rules(key: str, bank_size: int, dim_fix: bool) -> List[Rule]:
                           [f"{base}/conv_bank/conv1d_{k}/"
                            f"batch_normalization/{tf_leaf}"
                            for k in branches]))
-    for i in (1, 2):
+    for i in range(1, proj_count + 1):
         for leaf in ("kernel", "bias"):
             rules.append(Rule(P, (key, f"proj_{i}", leaf),
                               [f"{base}/proj_{i}/conv1d/{leaf}"]))
@@ -119,7 +120,7 @@ def _cbhg_rules(key: str, bank_size: int, dim_fix: bool) -> List[Rule]:
         for leaf in ("kernel", "bias"):
             rules.append(Rule(P, (key, "highway_dim_fix", leaf),
                               [f"{base}/dense/{leaf}"]))
-    for i in range(1, 5):
+    for i in range(1, highway_depth + 1):
         for gate in ("H", "T"):
             for leaf in ("kernel", "bias"):
                 rules.append(Rule(P, (key, f"highway_{i}", gate, leaf),
@@ -184,13 +185,15 @@ def tf1_rules(config: Config) -> List[Rule]:
                                   [f"model/inference/dense_{2 + i}/bias"]))
 
     # encoder prenet (tacotron.py:100-103, modules.py:18-25)
-    for i in (1, 2):
+    for i in range(1, len(mc.enc_prenet_sizes) + 1):
         for leaf in ("kernel", "bias"):
             rules.append(Rule(P, ("encoder_prenet", f"dense_{i}", leaf),
                               [f"model/inference/prenet/dense_{i}/{leaf}"]))
 
     rules += _cbhg_rules("encoder_cbhg", mc.enc_bank_size,
-                         dim_fix=(mc.enc_proj_sizes[-1] != mc.enc_rnn_size))
+                         dim_fix=(mc.enc_proj_sizes[-1] != mc.enc_rnn_size),
+                         highway_depth=mc.enc_highway_depth,
+                         proj_count=len(mc.enc_proj_sizes))
 
     # attention memory projection: Dense(name="memory_layer") constructed at
     # mechanism build time under the inference scope (tacotron.py:133-147,
@@ -222,7 +225,7 @@ def tf1_rules(config: Config) -> List[Rule]:
         rules.append(Rule(P, att + ("attention_g",),
                           [f"{_ATTW}/{mech}/attention_g"], tf_shape=()))
 
-    for i in (1, 2):
+    for i in range(1, len(mc.dec_prenet_sizes) + 1):
         for leaf in ("kernel", "bias"):
             rules.append(Rule(
                 P, ("decoder", "prenet", f"dense_{i}", leaf),
@@ -248,7 +251,9 @@ def tf1_rules(config: Config) -> List[Rule]:
                           [f"{_DEC}/{leaf}"]))
 
     rules += _cbhg_rules("post_cbhg", mc.post_bank_size,
-                         dim_fix=(mc.post_proj_sizes[-1] != mc.post_rnn_size))
+                         dim_fix=(mc.post_proj_sizes[-1] != mc.post_rnn_size),
+                         highway_depth=mc.post_highway_depth,
+                         proj_count=len(mc.post_proj_sizes))
 
     # final linear projection: unnamed tf.layers.dense (tacotron.py:235).
     # Uniquified against the deepvoice speaker denses created earlier in the

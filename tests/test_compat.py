@@ -215,3 +215,65 @@ def test_tf1_synthetic_reference_bundle(tmp_path):
         np.zeros((1, 8), np.int32), np.full((1,), 8, np.int32),
         speaker_id=np.zeros((1,), np.int32), train=False, max_steps=4)
     assert np.isfinite(np.asarray(out["linear_outputs"])).all()
+
+
+def test_compat_cli_roundtrip(tmp_path):
+    """The user-facing migration path: run dir -> `export` -> TF1 bundle
+    -> `import` -> new run dir, parameters bit-identical end to end."""
+    import dataclasses
+    import json
+    import os
+
+    import jax
+
+    from tacotron_tpu.compat.__main__ import main as compat_main
+    from tacotron_tpu.config import Config, ModelConfig, save_config
+    from tacotron_tpu.train.checkpoint import CheckpointManager
+    from tacotron_tpu.train.optim import make_optimizer
+    from tacotron_tpu.train.state import create_train_state
+
+    cfg = Config().replace(model=ModelConfig(
+        embedding_size=32, enc_prenet_sizes=(32, 16), enc_bank_size=4,
+        enc_bank_channel_size=16, enc_highway_depth=2, enc_rnn_size=16,
+        enc_proj_sizes=(16, 16), attention_size=16, attention_state_size=16,
+        dec_layer_num=2, dec_rnn_size=16, dec_prenet_sizes=(16, 8),
+        post_bank_size=2, post_bank_channel_size=16, post_highway_depth=2,
+        post_rnn_size=16, post_proj_sizes=(16, 80)))
+    run_a = str(tmp_path / "run_a")
+    opt = make_optimizer(cfg.train)
+    state = create_train_state(cfg, jax.random.PRNGKey(3), opt)
+    mgr = CheckpointManager(run_a, cfg, async_save=False)
+    mgr.save(state)
+    mgr.close()
+
+    prefix = str(tmp_path / "tf1" / "model.ckpt-777")
+    assert compat_main(["export", run_a, prefix]) == 0
+    assert os.path.exists(prefix + ".index")
+
+    cfg_json = os.path.join(run_a, "config.json")
+    # report runs clean on the exported bundle
+    assert compat_main(["report", prefix, "--config", cfg_json]) == 0
+
+    run_b = str(tmp_path / "run_b")
+    assert compat_main(
+        ["import", prefix, "--run_dir", run_b, "--config", cfg_json]) == 0
+
+    template = create_train_state(cfg, jax.random.PRNGKey(9), opt)
+    mgr_b = CheckpointManager(run_b, cfg, async_save=False)
+    restored = mgr_b.restore(template)
+    mgr_b.close()
+    assert int(restored.step) == 0
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.batch_stats),
+                    jax.tree.leaves(restored.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a wrong --config is rejected loudly, not silently mis-mapped
+    bad_cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, enc_rnn_size=24))
+    bad_path = str(tmp_path / "bad.json")
+    save_config(bad_cfg, bad_path)
+    assert compat_main(["import", prefix, "--run_dir",
+                        str(tmp_path / "run_c"), "--config", bad_path]) == 1
