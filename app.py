@@ -41,7 +41,16 @@ class SynthWorker:
         self.synth = synth
         self.fast_vocoder = fast_vocoder
         self.attention_retry = attention_retry
+        self.long_threshold_tokens = 120
         self.jobs: "queue.Queue" = queue.Queue()
+
+    def _needs_chunking(self, text: str) -> bool:
+        from tacotron_tpu.text import text_to_sequence
+        cfg = self.synth.config
+        cleaners = [c.strip() for c in cfg.data.cleaners.split(",")]
+        n = len(text_to_sequence(text, cleaners,
+                                 symbol_set=cfg.data.symbol_set))
+        return n > self.long_threshold_tokens
 
     def submit(self, text: str, speaker: int, timeout: float = 900.0):
         done = threading.Event()
@@ -49,7 +58,20 @@ class SynthWorker:
 
         def job():
             try:
-                if self.attention_retry:
+                if self._needs_chunking(text):
+                    # Longer than one decode window fits: sentence-split,
+                    # batch-decode the chunks in one call, stitch with
+                    # silence (Synthesizer.synthesize_long).
+                    long_kw = ({"retry_mode": self.attention_retry}
+                               if self.attention_retry else {})
+                    out = self.synth.synthesize_long(
+                        text, speaker_id=speaker,
+                        robust=bool(self.attention_retry),
+                        attention_trim=True, librosa_trim=True,
+                        fast_vocoder=self.fast_vocoder, **long_kw)
+                    box["result"] = {"wavs": [out["wav"]],
+                                     "chunks": out["chunks"]}
+                elif self.attention_retry:
                     box["result"] = self.synth.synthesize_robust(
                         texts=[text], speaker_ids=[speaker],
                         attention_trim=True, librosa_trim=True,

@@ -2,7 +2,7 @@
 
 from .synthesizer import (Synthesizer, attention_health,
                           attention_trim_index, posthoc_attention,
-                          trim_silence_db)
+                          split_text, trim_silence_db)
 
 __all__ = ["Synthesizer", "attention_health", "attention_trim_index",
-           "posthoc_attention", "trim_silence_db"]
+           "posthoc_attention", "split_text", "trim_silence_db"]

@@ -27,6 +27,11 @@ def main(argv=None) -> None:
     parser.add_argument("--no_librosa_trim", action="store_true")
     parser.add_argument("--vocode", default="chip",
                         choices=["chip", "host", "none"])
+    parser.add_argument("--long", action="store_true",
+                        help="treat each text as a long document: "
+                             "sentence-split, batch-decode the chunks in "
+                             "one call, stitch with silence "
+                             "(Synthesizer.synthesize_long)")
     args = parser.parse_args(argv)
 
     from tacotron_tpu import enable_compilation_cache
@@ -40,14 +45,28 @@ def main(argv=None) -> None:
     else:
         synth.load(args.load_path, step=args.checkpoint_step)
 
-    results = synth.synthesize(
-        texts=args.text,
-        speaker_ids=[args.speaker_id] * len(args.text),
-        max_steps=args.max_steps,
-        manual_attention_mode=args.manual_attention_mode,
-        attention_trim=not args.no_attention_trim,
-        librosa_trim=not args.no_librosa_trim,
-        vocode=args.vocode)
+    if args.long:
+        results = {"wavs": [], "alignments": [], "sequences": []}
+        for text in args.text:
+            out = synth.synthesize_long(
+                text, speaker_id=args.speaker_id, robust=False,
+                max_steps=args.max_steps,
+                attention_trim=not args.no_attention_trim,
+                librosa_trim=not args.no_librosa_trim,
+                vocode=args.vocode)
+            print(f"[*] split into {len(out['chunks'])} chunk(s)")
+            results["wavs"].append(out["wav"])
+            results["alignments"].append(None)
+            results["sequences"].append([])
+    else:
+        results = synth.synthesize(
+            texts=args.text,
+            speaker_ids=[args.speaker_id] * len(args.text),
+            max_steps=args.max_steps,
+            manual_attention_mode=args.manual_attention_mode,
+            attention_trim=not args.no_attention_trim,
+            librosa_trim=not args.no_librosa_trim,
+            vocode=args.vocode)
     paths = synth.save_results(results, args.sample_path)
     for p in paths:
         print(f"[*] saved {p} ({os.path.getsize(p)} bytes)")

@@ -45,6 +45,12 @@ class FakeSynth:
 
     synthesize_robust = synthesize
 
+    def synthesize_long(self, text, speaker_id=0, **kwargs):
+        self.long_calls = getattr(self, "long_calls", 0) + 1
+        wav = 0.1 * np.sin(np.linspace(0, 80 * np.pi, 4800)).astype(
+            np.float32)
+        return {"wav": wav, "chunks": [text], "parts": {"wavs": [wav]}}
+
 
 @pytest.fixture()
 def server(tmp_path):
@@ -165,3 +171,18 @@ def test_static_serving_and_traversal_guard(server):
     status, _, body = _get(host, port, "/static/../../etc/passwd")
     assert status in (403, 404)
     assert b"root:" not in body
+
+
+def test_generate_long_text_routes_through_chunking(server):
+    """Texts longer than one decode window fits are served via
+    synthesize_long (sentence-split + batched decode + stitch)."""
+    host, port, fake, _ = server
+    long_text = "안녕하세요 여러분 반갑습니다. " * 12  # >> 120 jamo tokens
+    status, headers, body = _get(host, port, "/generate?" +
+                                 urllib.parse.urlencode(
+                                     {"text": long_text, "speaker_id": 0}))
+    assert status == 200
+    assert headers["Content-Type"] == "audio/wav"
+    assert body[:4] == b"RIFF"
+    assert getattr(fake, "long_calls", 0) == 1
+    assert fake.calls == 0  # did not go through the plain path

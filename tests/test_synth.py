@@ -345,3 +345,55 @@ def test_synthesize_collect_timings():
              + t["fetch_ms"] + t["post_ms"])
     assert abs(parts - t["total_ms"]) < 1.0
     assert len(res["wavs"]) == 1 and len(res["wavs"][0]) > 0
+
+
+def test_split_text_sentence_and_clause_budgets():
+    """split_text cuts at sentence boundaries first, packs short sentences,
+    and falls back to clause/word splits for oversized sentences — every
+    chunk respects the token budget measured with the real frontend."""
+    from tacotron_tpu.synth.synthesizer import split_text
+    from tacotron_tpu.text import text_to_sequence
+
+    cleaners = ["korean_cleaners"]
+
+    def ntok(s):
+        return len(text_to_sequence(s, cleaners))
+
+    text = "안녕하세요. 반갑습니다! 오늘 날씨가 좋네요? 감사합니다."
+    # generous budget: everything packs into one chunk
+    assert split_text(text, 500, cleaners) == [text]
+    # tight budget: chunks split on sentence boundaries, order preserved
+    chunks = split_text(text, 30, cleaners)
+    assert len(chunks) >= 2
+    assert all(ntok(c) <= 30 for c in chunks)
+    assert "".join(chunks).replace(" ", "") == text.replace(" ", "")
+    # an oversized single sentence splits at clause punctuation
+    long_sentence = "하나, 둘, 셋, 넷, 다섯, 여섯, 일곱, 여덟."
+    chunks = split_text(long_sentence, 20, cleaners)
+    assert len(chunks) >= 2
+    assert all(ntok(c) <= 20 for c in chunks)
+    # no punctuation at all: word-boundary fallback still respects budget
+    words = "가나다라 마바사아 자차카타 파하가나 다라마바"
+    chunks = split_text(words, 16, cleaners)
+    assert all(ntok(c) <= 16 for c in chunks)
+    assert " ".join(chunks) == words
+
+
+def test_synthesize_long_stitches_chunks():
+    """synthesize_long = one batched decode over the chunks + silence gaps
+    between them (the working replacement for the reference's dead
+    short_concat, /root/reference/synthesizer.py:301-367)."""
+    cfg = Config().replace(model=ModelConfig(max_iters=6))
+    synth = Synthesizer().init_random(cfg)
+    text = "안녕하세요. 반갑습니다 여러분."
+    out = synth.synthesize_long(
+        text, max_chunk_tokens=12, robust=False, max_steps=6,
+        vocode="host", attention_trim=False, librosa_trim=False,
+        gap_sentence_ms=100.0, gap_clause_ms=50.0)
+    assert len(out["chunks"]) >= 2
+    part_len = sum(len(w) for w in out["parts"]["wavs"])
+    n_gaps = len(out["chunks"]) - 1
+    sr = cfg.audio.sample_rate
+    # every inter-chunk gap is 50-100 ms of true silence
+    assert len(out["wav"]) >= part_len + n_gaps * int(sr * 0.05)
+    assert np.isfinite(out["wav"]).all()
