@@ -145,37 +145,10 @@ class ModelConfig:
     rnn_unroll: int = 1       # encoder/post-net BiGRU scans
 
     def scaled(self, factor: int) -> "ModelConfig":
-        """Divide every network width by ``factor`` — the reference's
-        ``SCALE_FACTOR`` knob (``hparams.py:3-6`` wraps each width in
-        ``f(num) = num // SCALE_FACTOR``) for training skinny debug
-        models.  The final post-net projection stays ``num_mels``
-        (``hparams.py:65``: ``[f(256), 80]``), and output dims /
-        depths / widths-of-convolutions are untouched, exactly as in the
-        reference.
-        """
-        if factor < 1:
-            raise ValueError(f"scale factor must be >= 1, got {factor}")
-
-        def f(n: int) -> int:
-            return max(1, n // factor)
-
-        return dataclasses.replace(
-            self,
-            speaker_embedding_size=f(self.speaker_embedding_size),
-            embedding_size=f(self.embedding_size),
-            enc_prenet_sizes=tuple(f(n) for n in self.enc_prenet_sizes),
-            enc_bank_channel_size=f(self.enc_bank_channel_size),
-            enc_rnn_size=f(self.enc_rnn_size),
-            enc_proj_sizes=tuple(f(n) for n in self.enc_proj_sizes),
-            attention_size=f(self.attention_size),
-            attention_state_size=f(self.attention_state_size),
-            dec_rnn_size=f(self.dec_rnn_size),
-            dec_prenet_sizes=tuple(f(n) for n in self.dec_prenet_sizes),
-            post_bank_channel_size=f(self.post_bank_channel_size),
-            post_rnn_size=f(self.post_rnn_size),
-            post_proj_sizes=tuple(
-                f(n) for n in self.post_proj_sizes[:-1]
-            ) + (self.post_proj_sizes[-1],))
+        """Method form of :func:`scale_model_widths` — the reference's
+        ``SCALE_FACTOR`` width divider (``hparams.py:3-6``):
+        ``ModelConfig().scaled(2)``."""
+        return scale_model_widths(self, factor)
 
 
 @dataclasses.dataclass(frozen=True)

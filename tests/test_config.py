@@ -109,25 +109,7 @@ def test_scale_model_widths():
                                            s.num_freq)
 
 
-def test_model_config_scaled():
-    """ModelConfig.scaled = the reference's SCALE_FACTOR width divider
-    (hparams.py:3-6): every width // factor, output dims untouched."""
-    from tacotron_tpu.config import ModelConfig
-    mc = ModelConfig().scaled(2)
-    assert mc.embedding_size == 128
-    assert mc.enc_prenet_sizes == (128, 64)
-    assert mc.enc_rnn_size == 64
-    assert mc.dec_rnn_size == 128
-    assert mc.attention_size == 128
-    # the post-net's final projection stays num_mels (hparams.py:65)
-    assert mc.post_proj_sizes == (128, 80)
-    # output dims, depths and conv widths are not scaled
-    assert mc.num_mels == 80 and mc.num_freq == 1025
-    assert mc.enc_bank_size == 16 and mc.enc_highway_depth == 4
-    assert mc.reduction_factor == 4
-    # identity at factor 1; widths never collapse to zero
-    assert ModelConfig().scaled(1) == ModelConfig()
-    assert ModelConfig().scaled(10_000).enc_rnn_size == 1
-    import pytest
-    with pytest.raises(ValueError):
-        ModelConfig().scaled(0)
+def test_model_config_scaled_method():
+    """ModelConfig.scaled is the method form of scale_model_widths."""
+    from tacotron_tpu.config import ModelConfig, scale_model_widths
+    assert ModelConfig().scaled(4) == scale_model_widths(ModelConfig(), 4)
