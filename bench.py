@@ -229,6 +229,27 @@ def main() -> None:
     phase_budget = {k: round(float(np.median(v)), 2)
                     for k, v in phase_samples.items()}
 
+    # ---- long-text serving: a paragraph through synthesize_long (sentence
+    # split -> ONE batched decode over the chunks -> silence stitch), the
+    # app.py route for texts longer than one decode window.  Same text every
+    # call, so the compiled programs are reused across reps.
+    long_text = ("안녕하세요 오늘은 정말 좋은 날씨입니다 함께 산책을 나가요. "
+                 "음성 합성 시스템의 품질을 평가하기 위한 긴 문단입니다 여러 "
+                 "문장이 이어집니다. 어제 저녁에는 친구들과 함께 맛있는 "
+                 "식사를 했습니다 그리고 커피도 마셨습니다. 대한민국의 "
+                 "수도는 서울이며 많은 사람들이 살고 있습니다.")
+
+    def serve_long():
+        out = synth.synthesize_long(
+            long_text, robust=False, fast_vocoder=True,
+            return_alignments=False, librosa_trim=False)
+        return len(out["wav"]), len(out["chunks"])
+
+    long_samples, long_chunks = serve_long()
+    long_time, _, _ = _timed(lambda: serve_long()[0], reps=5)
+    long_audio_s = long_samples / cfg.audio.sample_rate
+    long_throughput = long_audio_s / long_time
+
     # ---- CPU baseline: host (numpy) Griffin-Lim of the same spectrograms,
     # the reference's serving hot path. One utterance, scaled to the batch.
     out = model.apply(variables, inputs_j[:1], lengths_j[:1], train=False,
@@ -445,6 +466,15 @@ def main() -> None:
                                   "(incl one ~45ms tunnel round trip); "
                                   "fetch = bulk int16 waveform transfer; "
                                   "frontend/post = host text/unpack work",
+            "long_text_audio_s_per_s": round(long_throughput, 2),
+            "long_text_seconds": round(long_time, 4),
+            "long_text_chunks": int(long_chunks),
+            "long_text_audio_s": round(long_audio_s, 2),
+            "long_text_note": "a 4-sentence paragraph through "
+                              "synthesize_long (sentence split -> ONE "
+                              "batched decode -> silence stitch) with the "
+                              "fast preset and length-adaptive step "
+                              "budget — the app.py long-text route",
             "fast_gla_audio_s_per_s": round(fast_throughput, 2),
             "fast_gla_batch_seconds": round(fast_time, 4),
             "fast_gla_config": {"iters": 30, "momentum": 0.99,
