@@ -121,7 +121,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("report", help="show how a TF1 bundle maps")
-    p.add_argument("prefix", help="model.ckpt-N prefix")
+    p.add_argument("prefix", help="model.ckpt-N prefix, or a directory "
+                                  "(newest bundle is picked)")
     p.add_argument("--config", default=None,
                    help="config.json for the exact rule table "
                         "(omit for the lenient regex mapper)")

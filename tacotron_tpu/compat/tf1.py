@@ -214,14 +214,37 @@ def map_tf1_variables(tensors: Dict[str, np.ndarray]
     return params, stats, unmatched
 
 
+def resolve_checkpoint_prefix(path: str) -> str:
+    """Accept either a ``model.ckpt-N`` prefix or a run DIRECTORY and
+    return the newest prefix — the reference's checkpoint discovery
+    (``/root/reference/models/__init__.py:10-17`` globs ``*.ckpt-*.data-*``
+    and takes the max step)."""
+    import glob
+    import os
+    if not os.path.isdir(path):
+        return path
+    steps = []
+    for p in glob.glob(os.path.join(path, "*.ckpt-*.index")):
+        stem = p[:-len(".index")]
+        try:
+            steps.append((int(stem.rsplit("-", 1)[1]), stem))
+        except ValueError:
+            continue
+    if not steps:
+        raise FileNotFoundError(
+            f"no model.ckpt-N bundle found in directory {path!r}")
+    return max(steps)[1]
+
+
 def import_tf1_checkpoint(prefix: str, config: Optional[Config] = None
                           ) -> Tuple[dict, dict, List[str]]:
     """Read a reference ``model.ckpt-N`` and map to flax trees.
 
     With a config, the exact rule table (:mod:`.names`) is used — zero
     residue expected; without one, the lenient regex mapper covers the
-    common scopes."""
-    tensors = read_checkpoint(prefix)
+    common scopes.  ``prefix`` may be a run directory (newest bundle is
+    picked, reference-style)."""
+    tensors = read_checkpoint(resolve_checkpoint_prefix(prefix))
     if config is not None:
         from .names import import_tf1
         params, stats, unmatched, _ = import_tf1(tensors, config)
@@ -234,7 +257,7 @@ def import_report(prefix: str, config: Optional[Config] = None) -> str:
     config) which rule targets the bundle did not fill."""
     import jax
 
-    tensors = read_checkpoint(prefix)
+    tensors = read_checkpoint(resolve_checkpoint_prefix(prefix))
     if config is not None:
         from .names import import_tf1
         params, stats, unmatched, unfilled = import_tf1(tensors, config)

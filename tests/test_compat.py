@@ -277,3 +277,28 @@ def test_compat_cli_roundtrip(tmp_path):
     save_config(bad_cfg, bad_path)
     assert compat_main(["import", prefix, "--run_dir",
                         str(tmp_path / "run_c"), "--config", bad_path]) == 1
+
+
+def test_resolve_checkpoint_prefix(tmp_path):
+    """A run DIRECTORY resolves to its newest model.ckpt-N — the
+    reference's discovery rule (models/__init__.py:10-17)."""
+    import os
+
+    import pytest
+
+    from tacotron_tpu.compat.bundle import write_checkpoint
+    from tacotron_tpu.compat.tf1 import resolve_checkpoint_prefix
+
+    d = str(tmp_path)
+    for step in (100, 2000, 350):
+        write_checkpoint(os.path.join(d, f"model.ckpt-{step}"),
+                         {"v": np.zeros((2,), np.float32)})
+    # an exact prefix passes through untouched
+    p = os.path.join(d, "model.ckpt-100")
+    assert resolve_checkpoint_prefix(p) == p
+    # a directory resolves to the numerically newest step (2000 > 350)
+    assert resolve_checkpoint_prefix(d).endswith("model.ckpt-2000")
+    empty = tmp_path / "sub"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint_prefix(str(empty))
