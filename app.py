@@ -37,10 +37,11 @@ class SynthWorker:
     """
 
     def __init__(self, synth: Synthesizer, fast_vocoder: bool = True,
-                 attention_retry: int = 0):
+                 attention_retry: int = 0, wire_format: str = "int16"):
         self.synth = synth
         self.fast_vocoder = fast_vocoder
         self.attention_retry = attention_retry
+        self.wire_format = wire_format
         self.long_threshold_tokens = 120
         self.jobs: "queue.Queue" = queue.Queue()
 
@@ -68,7 +69,8 @@ class SynthWorker:
                         text, speaker_id=speaker,
                         robust=bool(self.attention_retry),
                         attention_trim=True, librosa_trim=True,
-                        fast_vocoder=self.fast_vocoder, **long_kw)
+                        fast_vocoder=self.fast_vocoder,
+                        wire_format=self.wire_format, **long_kw)
                     box["result"] = {"wavs": [out["wav"]],
                                      "chunks": out["chunks"]}
                 elif self.attention_retry:
@@ -76,12 +78,14 @@ class SynthWorker:
                         texts=[text], speaker_ids=[speaker],
                         attention_trim=True, librosa_trim=True,
                         fast_vocoder=self.fast_vocoder,
+                        wire_format=self.wire_format,
                         retry_mode=self.attention_retry)
                 else:
                     box["result"] = self.synth.synthesize(
                         texts=[text], speaker_ids=[speaker],
                         attention_trim=True, librosa_trim=True,
-                        fast_vocoder=self.fast_vocoder)
+                        fast_vocoder=self.fast_vocoder,
+                        wire_format=self.wire_format)
             except Exception as e:
                 box["error"] = e
             finally:
@@ -249,6 +253,12 @@ def main(argv=None) -> None:
                         help="compile the serving programs (token buckets "
                              "32/64/96, batch 1) before accepting requests "
                              "so no user pays XLA compile latency")
+    parser.add_argument("--wire_format", default="int16",
+                        choices=["int16", "mulaw8"],
+                        help="device->host audio encoding; mulaw8 halves "
+                             "the bulk-fetch bytes (~1.4x serving "
+                             "throughput on bandwidth-bound links, "
+                             "~38 dB quantization SNR)")
     args = parser.parse_args(argv)
 
     import tacotron_tpu
@@ -273,7 +283,8 @@ def main(argv=None) -> None:
               f"in {_time.perf_counter() - t0:.1f}s")
 
     worker = SynthWorker(synth, fast_vocoder=not args.classic_vocoder,
-                         attention_retry=args.attention_retry)
+                         attention_retry=args.attention_retry,
+                         wire_format=args.wire_format)
     server = ThreadingHTTPServer(
         ("0.0.0.0", args.port),
         make_handler(worker, args.cache_dir, model_name))

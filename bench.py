@@ -177,6 +177,19 @@ def main() -> None:
     serve_fast_time, _, _ = _timed(serve_fast, reps=10)
     serve_fast_throughput = serve_audio_s / serve_fast_time
 
+    # fast preset + 8-bit mu-law wire: halves the bulk-fetch bytes (the
+    # dominant serving cost on this tunneled link)
+    def serve_mulaw():
+        res = synth.synthesize(texts=serve_texts, max_steps=MAX_STEPS,
+                               attention_trim=False, librosa_trim=False,
+                               return_alignments=False, fast_vocoder=True,
+                               wire_format="mulaw8")
+        return sum(len(w) for w in res["wavs"])
+
+    assert serve_mulaw() == serve_samples
+    serve_mulaw_time, _, _ = _timed(serve_mulaw, reps=10)
+    serve_mulaw_throughput = serve_audio_s / serve_mulaw_time
+
     # ---- single-utterance serving latency (the interactive app.py case):
     # one text through the product API with the recommended preset — what a
     # demo user waits between request and audio.  Padded to the same
@@ -439,6 +452,16 @@ def main() -> None:
                 "fast_vocoder": True, "return_alignments": False,
                 "note": "recommended serving preset; spectral convergence "
                         "equals classic 60-iter GL"},
+            "serving_mulaw8_audio_s_per_s": round(serve_mulaw_throughput, 2),
+            "serving_mulaw8_batch_seconds": round(serve_mulaw_time, 4),
+            "serving_mulaw8_vs_raw": round(
+                serve_mulaw_throughput / tpu_throughput, 3),
+            "serving_mulaw8_note": "fast preset + wire_format='mulaw8': "
+                                   "audio crosses the host link as 8-bit "
+                                   "mu-law (half the fetch bytes, ~38 dB "
+                                   "quantization SNR) — the opt-in for "
+                                   "bandwidth-bound links (app.py "
+                                   "--wire_format mulaw8)",
             "serving_latency_1utt_ms": round(lat_time * 1e3, 1),
             "serving_latency_1utt_ms_p10_p90": [round(lat_p10 * 1e3, 1),
                                                 round(lat_p90 * 1e3, 1)],

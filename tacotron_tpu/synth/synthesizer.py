@@ -85,6 +85,33 @@ def adaptive_max_steps(num_tokens: int, min_iters: int, max_iters: int,
     return max_iters
 
 
+def mulaw_encode(x: jnp.ndarray) -> jnp.ndarray:
+    """mu-law companding (mu=255) of ``x`` in [-1, 1] to uint8 codes
+    (0..255, 128 = zero) — the on-device half of the ``wire_format=
+    "mulaw8"`` serving path (1 byte/sample across the host link)."""
+    x = jnp.clip(x, -1.0, 1.0)
+    y = jnp.sign(x) * jnp.log1p(255.0 * jnp.abs(x)) / jnp.log(256.0)
+    return (jnp.round(y * 127.0) + 128.0).astype(jnp.uint8)
+
+
+def _mulaw_table() -> np.ndarray:
+    y = (np.arange(256, dtype=np.float32) - 128.0) / 127.0
+    x = np.sign(y) * (np.power(256.0, np.abs(y)) - 1.0) / 255.0
+    # the encoder emits codes 1..255; clip so the unreachable code 0
+    # (e.g. corrupt data) cannot overshoot full scale
+    return np.clip(x, -1.0, 1.0)
+
+
+_MULAW_TABLE = _mulaw_table()
+
+
+def mulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """Host-side inverse of :func:`mulaw_encode`: uint8 codes -> float32
+    in [-1, 1].  A 256-entry lookup — the elementwise ``pow`` formulation
+    measured 17 ms of host time on a batch-32 fetch; the gather is ~1 ms."""
+    return _MULAW_TABLE[codes]
+
+
 #: sentence-final punctuation (drives the longer stitch gap and the
 #: primary split points in :func:`split_text`)
 _SENT_FINAL = ".!?"
@@ -394,7 +421,7 @@ class Synthesizer:
     VOCODER_MAX_BATCH = 16
 
     def _fused(self, bucket_len: int, max_steps: int, manual: bool,
-               trim: bool, fast: bool = False):
+               trim: bool, fast: bool = False, wire: str = "int16"):
         """ONE jitted program: decode -> on-device attention trim -> masked
         batched Griffin-Lim -> int16 waveform.
 
@@ -406,9 +433,14 @@ class Synthesizer:
         ``fast=True`` swaps the vocoder to momentum Griffin-Lim (30 iters,
         momentum 0.99) — measured spectral convergence equal to the classic
         60-iteration schedule (scripts/synth_sweep.py, tests/test_dsp.py)
-        at ~2x the vocoder throughput."""
+        at ~2x the vocoder throughput.
+
+        ``wire="mulaw8"`` ships the waveform as 8-bit mu-law (G.711-style,
+        mu=255) instead of int16 — half the bytes on the serving path's
+        dominant cost, the bulk fetch.  ~38 dB quantization SNR: opt in
+        for remote/tunneled links where bandwidth dominates."""
         key = ("fused", bucket_len, max_steps, int(manual), int(trim),
-               int(fast))
+               int(fast), wire)
         if key not in self._compiled:
             model = self.model
             audio_cfg = self.config.audio
@@ -443,6 +475,28 @@ class Synthesizer:
                 # square-wave any waveform whose peak exceeds 1.0.
                 peak = jnp.max(jnp.abs(wavs), axis=1, keepdims=True)
                 denom = jnp.maximum(0.01, peak)
+                denom_db = 20.0 * jnp.log10(denom[:, 0])
+                if wire == "mulaw8":
+                    # mu-law companding of the peak-normalized waveform:
+                    # 1 byte/sample on the wire, decoded on host
+                    wav_q = mulaw_encode(wavs / denom)
+
+                    def u16_rows(vals):
+                        """int32 [N] (0..65535) -> lo/hi uint8 rows."""
+                        rows = jnp.zeros((2, wav_q.shape[1]), jnp.uint8)
+                        rows = rows.at[0, :vals.shape[0]].set(
+                            (vals & 0xFF).astype(jnp.uint8))
+                        rows = rows.at[1, :vals.shape[0]].set(
+                            ((vals >> 8) & 0xFF).astype(jnp.uint8))
+                        return rows
+
+                    denom_q = (jnp.clip(jnp.round(denom_db * 100.0),
+                                        -32767, 32767).astype(jnp.int32)
+                               + 32768)
+                    packed = jnp.concatenate(
+                        [wav_q, u16_rows(ends.astype(jnp.int32)),
+                         u16_rows(denom_q)], axis=0)
+                    return packed, aligns
                 wav_i16 = jnp.clip(wavs * (32767.0 / denom),
                                    -32768, 32767).astype(jnp.int16)
                 # pack ends (frame counts, < 32767) plus the per-utterance
@@ -456,7 +510,6 @@ class Synthesizer:
                 ends_row = jnp.zeros((1, wav_i16.shape[1]), jnp.int16)
                 ends_row = ends_row.at[0, :ends.shape[0]].set(
                     ends.astype(jnp.int16))
-                denom_db = 20.0 * jnp.log10(denom[:, 0])
                 denom_row = jnp.zeros((1, wav_i16.shape[1]), jnp.int16)
                 denom_row = denom_row.at[0, :denom_db.shape[0]].set(
                     jnp.clip(jnp.round(denom_db * 100.0),
@@ -535,6 +588,7 @@ class Synthesizer:
                    return_alignments: bool = True,
                    fast_vocoder: bool = False,
                    collect_timings: bool = False,
+                   wire_format: str = "int16",
                    ) -> Dict[str, List[np.ndarray]]:
         """texts -> waveforms.
 
@@ -560,6 +614,13 @@ class Synthesizer:
         ``max_iters=200`` cap — short texts skip most of the decode+vocode
         cost; trimming behaves identically.  Pass ``max_steps`` explicitly
         to pin a fixed budget.
+
+        ``wire_format="mulaw8"`` (chip path only) ships the audio across
+        the host link as 8-bit mu-law instead of int16 — half the bytes on
+        the dominant serving cost (the bulk fetch), ~38 dB quantization
+        SNR.  Opt in when the host link is bandwidth-bound (tunneled or
+        remote backends); the returned waveforms are float32 at true
+        amplitude either way.
 
         ``collect_timings=True`` (chip path) adds a ``timings`` dict to the
         result splitting the call into phases — ``frontend`` (text ->
@@ -619,6 +680,10 @@ class Synthesizer:
 
         if vocode not in ("chip", "host", "none"):
             raise ValueError(f"unknown vocode mode {vocode!r}")
+        if wire_format not in ("int16", "mulaw8"):
+            raise ValueError(f"unknown wire_format {wire_format!r}")
+        if wire_format != "int16" and vocode != "chip":
+            raise ValueError("wire_format applies to the chip path only")
 
         if manual_attention_mode > 0:
             # first pass just for the computed alignments (small fetch),
@@ -656,7 +721,7 @@ class Synthesizer:
             # computes on-device while chunk k's waveforms cross the host
             # link (the dominant serving cost on tunneled backends).
             fn = self._fused(bucket, steps, man is not None, attention_trim,
-                             fast=fast_vocoder)
+                             fast=fast_vocoder, wire=wire_format)
             pending = []
             for lo in range(0, N, self.VOCODER_MAX_BATCH):
                 hi = min(N, lo + self.VOCODER_MAX_BATCH)
@@ -692,6 +757,23 @@ class Synthesizer:
             if collect_timings:
                 t_fetch = time.perf_counter()
             for lo, hi, packed, al in fetched:
+                if wire_format == "mulaw8":
+                    # uint8 layout: wav rows + ends lo/hi + denom lo/hi
+                    wav_rows = packed[:-4]
+                    ends = (packed[-4].astype(np.int32)
+                            | (packed[-3].astype(np.int32) << 8))
+                    denom_db = ((packed[-2].astype(np.int32)
+                                 | (packed[-1].astype(np.int32) << 8))
+                                - 32768).astype(np.float32) / 100.0
+                    denom = 10.0 ** (denom_db / 20.0)
+                    expanded = mulaw_decode(wav_rows)
+                    for i in range(hi - lo):
+                        n_samples = min(expanded.shape[1],
+                                        int(ends[i]) * hop)
+                        wavs.append(expanded[i, :n_samples] * denom[i])
+                        if al is not None:
+                            aligns.append(al[i, :seq_lens[lo + i], :])
+                    continue
                 wav_i16, ends, denom_q = packed[:-2], packed[-2], packed[-1]
                 # undo the on-device peak normalization (dB*100 row) so the
                 # chip path returns true amplitudes like the host path

@@ -269,7 +269,7 @@ def test_prewarm_compiles_serving_programs():
     n = synth.prewarm(token_buckets=(32,), batch_sizes=(1,),
                       max_steps=4, fast_vocoder=False)
     assert n == 1
-    key = ("fused", 32, 4, 0, 1, 0)
+    key = ("fused", 32, 4, 0, 1, 0, "int16")
     assert key in synth._compiled
     before = dict(synth._compiled)
     out = synth.synthesize(texts=["안녕하세요"], max_steps=4,
@@ -397,3 +397,61 @@ def test_synthesize_long_stitches_chunks():
     # every inter-chunk gap is 50-100 ms of true silence
     assert len(out["wav"]) >= part_len + n_gaps * int(sr * 0.05)
     assert np.isfinite(out["wav"]).all()
+
+
+def test_wire_format_mulaw8_matches_int16():
+    """The opt-in 8-bit mu-law wire format (half the fetch bytes) decodes
+    to the same waveform as the int16 wire within mu-law quantization
+    error; bad combinations raise."""
+    cfg = Config().replace(model=ModelConfig(max_iters=6))
+    synth = Synthesizer().init_random(cfg)
+    kw = dict(texts=["안녕하세요 반갑습니다"], max_steps=6, vocode="chip",
+              attention_trim=False, librosa_trim=False,
+              return_alignments=False)
+    ref = synth.synthesize(wire_format="int16", **kw)["wavs"][0]
+    mu = synth.synthesize(wire_format="mulaw8", **kw)["wavs"][0]
+    assert mu.shape == ref.shape
+    # quantization error is relative to the WIRE's full scale — the
+    # per-utterance peak-normalization denominator (floored at 0.01,
+    # synthesizer._fused) — not the signal peak.  mu-law's worst-case
+    # step near full scale is ~2.3% of full scale.
+    full_scale = max(float(np.abs(ref).max()), 0.01)
+    assert float(np.abs(mu - ref).max()) <= 0.03 * full_scale
+    if float(np.abs(ref).max()) > 0.02:  # audible signal: also correlate
+        corr = float(np.corrcoef(mu, ref)[0, 1])
+        assert corr > 0.995, corr
+    with pytest.raises(ValueError, match="wire_format"):
+        synth.synthesize(wire_format="adpcm", **kw)
+    with pytest.raises(ValueError, match="chip path"):
+        synth.synthesize(texts=["안녕"], max_steps=4, vocode="host",
+                         wire_format="mulaw8")
+
+
+def test_mulaw_codec_full_range_snr():
+    """The exact production companding pair (jnp encode on device, numpy
+    decode on host) round-trips a full-range signal at mu-law-8 quality
+    (>= 35 dB SNR) and is exact at zero and the extremes' sign."""
+    import jax.numpy as jnp
+
+    from tacotron_tpu.synth.synthesizer import mulaw_decode, mulaw_encode
+
+    t = np.linspace(0, 1, 24000, dtype=np.float32)
+    x = (0.9 * np.sin(2 * np.pi * 220 * t)
+         * np.exp(-2 * t)).astype(np.float32)  # decaying full-range tone
+    codes = np.asarray(mulaw_encode(jnp.asarray(x)))
+    assert codes.dtype == np.uint8
+    rec = mulaw_decode(codes)
+    err = rec - x
+    snr_db = 10 * np.log10(float((x ** 2).sum()) / float((err ** 2).sum()))
+    assert snr_db >= 35.0, snr_db
+    # zero maps to the center code and back to exactly zero
+    assert int(np.asarray(mulaw_encode(jnp.zeros((4,))))[0]) == 128
+    assert mulaw_decode(np.full((4,), 128, np.uint8)).max() == 0.0
+    # the encoder's extreme codes decode to exactly full scale, and the
+    # unreachable code 0 is clipped rather than overshooting
+    np.testing.assert_allclose(
+        mulaw_decode(np.array([1, 255], np.uint8)), [-1.0, 1.0], atol=1e-6)
+    assert mulaw_decode(np.array([0], np.uint8))[0] == -1.0
+    # full-range inputs land on the extreme codes
+    ext = np.asarray(mulaw_encode(jnp.asarray([-1.0, 1.0])))
+    np.testing.assert_array_equal(ext, [1, 255])
