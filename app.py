@@ -48,8 +48,7 @@ class SynthWorker:
     def _needs_chunking(self, text: str) -> bool:
         from tacotron_tpu.text import text_to_sequence
         cfg = self.synth.config
-        cleaners = [c.strip() for c in cfg.data.cleaners.split(",")]
-        n = len(text_to_sequence(text, cleaners,
+        n = len(text_to_sequence(text, self.synth.cleaner_names(),
                                  symbol_set=cfg.data.symbol_set))
         return n > self.long_threshold_tokens
 
@@ -251,8 +250,11 @@ def main(argv=None) -> None:
                              "of this mode (0=off)")
     parser.add_argument("--prewarm", action="store_true",
                         help="compile the serving programs (token buckets "
-                             "32/64/96, batch 1) before accepting requests "
-                             "so no user pays XLA compile latency")
+                             "32-128 x chunk sizes 1/2/4, covering the "
+                             "long-text route) before accepting requests "
+                             "so no user pays XLA compile latency; "
+                             "larger long-text fan-outs (8/16 chunks) "
+                             "still compile on first use")
     parser.add_argument("--wire_format", default="int16",
                         choices=["int16", "mulaw8"],
                         help="device->host audio encoding; mulaw8 halves "
@@ -277,8 +279,12 @@ def main(argv=None) -> None:
     if args.prewarm:
         import time as _time
         t0 = _time.perf_counter()
-        n = synth.prewarm(token_buckets=(32, 64, 96),
-                          fast_vocoder=not args.classic_vocoder)
+        # bucket 128 + chunk sizes 2/4 are what the long-text route
+        # (SynthWorker._needs_chunking -> synthesize_long) actually hits
+        n = synth.prewarm(token_buckets=(32, 64, 96, 128),
+                          batch_sizes=(1, 2, 4),
+                          fast_vocoder=not args.classic_vocoder,
+                          wire_format=args.wire_format)
         print(f"[*] prewarmed {n} serving programs "
               f"in {_time.perf_counter() - t0:.1f}s")
 

@@ -90,6 +90,7 @@ def cmd_import(args) -> int:
 
 def cmd_export(args) -> int:
     import jax
+    import numpy as np
 
     from ..train.checkpoint import CheckpointManager, load_run_config
     from ..train.optim import make_optimizer
@@ -105,9 +106,8 @@ def cmd_export(args) -> int:
     os.makedirs(os.path.dirname(os.path.abspath(args.prefix)), exist_ok=True)
     export_tf1_checkpoint(
         args.prefix,
-        jax.tree.map(lambda x: __import__("numpy").asarray(x), state.params),
-        jax.tree.map(lambda x: __import__("numpy").asarray(x),
-                     state.batch_stats),
+        jax.tree.map(np.asarray, state.params),
+        jax.tree.map(np.asarray, state.batch_stats),
         config)
     print(f"[*] exported step {int(state.step)} -> {args.prefix}"
           f"{{.index,.data-00000-of-00001}}")

@@ -115,9 +115,13 @@ def mulaw_decode(codes: np.ndarray) -> np.ndarray:
 #: sentence-final punctuation (drives the longer stitch gap and the
 #: primary split points in :func:`split_text`)
 _SENT_FINAL = ".!?"
-_SENTENCE_RE = re.compile(r"[^.!?]*[.!?]+(?:\s+|$)|[^.!?]+$")
+#: split AFTER sentence punctuation only when whitespace (or end) follows,
+#: so decimals ("2.5를"), ellipses mid-phrase and quoted punctuation never
+#: split — and, because these are zero-width split POINTS rather than
+#: token matches, no input text can be dropped
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
 #: secondary split points inside an oversized sentence
-_CLAUSE_RE = re.compile(r"[^,;:·]*[,;:·]+\s*|[^,;:·]+$")
+_CLAUSE_SPLIT_RE = re.compile(r"(?<=[,;:·])\s*")
 
 
 def split_text(text: str, max_chunk_tokens: int,
@@ -136,11 +140,13 @@ def split_text(text: str, max_chunk_tokens: int,
         return len(text_to_sequence(s, list(cleaners), symbol_set=symbol_set))
 
     def atoms(s: str) -> List[str]:
-        """Pieces of ``s`` that each fit the budget."""
+        """Pieces of ``s`` that each fit the budget.  (ntok re-runs the
+        frontend on the growing piece, but pieces are bounded by the
+        chunk budget, so total work stays linear in document length.)"""
         if ntok(s) <= max_chunk_tokens:
             return [s]
         out: List[str] = []
-        clauses = [c for c in _CLAUSE_RE.findall(s) if c.strip()]
+        clauses = [c for c in _CLAUSE_SPLIT_RE.split(s) if c.strip()]
         if len(clauses) == 1:
             clauses = s.split()
         for c in clauses:
@@ -159,7 +165,7 @@ def split_text(text: str, max_chunk_tokens: int,
                     out.append(cur)
         return out
 
-    sentences = [s for s in _SENTENCE_RE.findall(text) if s.strip()]
+    sentences = [s for s in _SENT_SPLIT_RE.split(text) if s.strip()]
     pieces: List[str] = []
     for s in sentences:
         pieces.extend(atoms(s.strip()))
@@ -521,13 +527,19 @@ class Synthesizer:
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
 
+    def cleaner_names(self) -> List[str]:
+        """The configured text-cleaner pipeline as a list (the one place
+        the comma-separated config field is parsed)."""
+        return [c.strip() for c in self.config.data.cleaners.split(",")]
+
     # -------------------------------------------------------------- prewarm
 
     def prewarm(self, token_buckets: Sequence[int] = (32, 64),
                 batch_sizes: Sequence[int] = (1,),
                 max_steps: Optional[int] = None,
                 attention_trim: bool = True,
-                fast_vocoder: bool = True) -> int:
+                fast_vocoder: bool = True,
+                wire_format: str = "int16") -> int:
         """Compile the fused serving programs ahead of the first request.
 
         The first request at a new (token-bucket, chunk-size) shape pays
@@ -562,7 +574,8 @@ class Synthesizer:
                     for t in range(lo, bucket + 1)})
             for steps in step_set:
                 fn = self._fused(bucket, steps, manual=False,
-                                 trim=attention_trim, fast=fast_vocoder)
+                                 trim=attention_trim, fast=fast_vocoder,
+                                 wire=wire_format)
                 for nb in batch_sizes:
                     inputs = jnp.zeros((nb, bucket), jnp.int32)
                     lengths = jnp.ones((nb,), jnp.int32)
@@ -634,7 +647,7 @@ class Synthesizer:
         assert self.variables is not None, "call load() or init_random()"
         t_start = time.perf_counter() if collect_timings else 0.0
         cfg = self.config
-        cleaners = [c.strip() for c in cfg.data.cleaners.split(",")]
+        cleaners = self.cleaner_names()
         if sequences is None:
             sequences = [text_to_sequence(t, cleaners,
                                           symbol_set=cfg.data.symbol_set)
@@ -703,7 +716,7 @@ class Synthesizer:
                 librosa_trim=librosa_trim, vocode=vocode,
                 token_bucket=token_bucket,
                 return_alignments=return_alignments,
-                fast_vocoder=fast_vocoder)
+                fast_vocoder=fast_vocoder, wire_format=wire_format)
 
         r = cfg.model.reduction_factor
         hop = cfg.audio.hop_length
@@ -923,8 +936,7 @@ class Synthesizer:
         <underlying synthesize result>}``.
         """
         cfg = self.config
-        cleaners = [c.strip() for c in cfg.data.cleaners.split(",")]
-        chunks = split_text(text, max_chunk_tokens, cleaners,
+        chunks = split_text(text, max_chunk_tokens, self.cleaner_names(),
                             symbol_set=cfg.data.symbol_set)
         if not chunks:
             raise ValueError("no synthesizable text after splitting")

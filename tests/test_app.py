@@ -45,6 +45,9 @@ class FakeSynth:
 
     synthesize_robust = synthesize
 
+    def cleaner_names(self):
+        return [c.strip() for c in self.config.data.cleaners.split(",")]
+
     def synthesize_long(self, text, speaker_id=0, **kwargs):
         self.long_calls = getattr(self, "long_calls", 0) + 1
         wav = 0.1 * np.sin(np.linspace(0, 80 * np.pi, 4800)).astype(

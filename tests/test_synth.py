@@ -379,6 +379,30 @@ def test_split_text_sentence_and_clause_budgets():
     assert " ".join(chunks) == words
 
 
+def test_split_text_never_loses_text():
+    """Splitting must never DROP input: punctuation not followed by
+    whitespace (decimals, ellipses, quoted punctuation) is not a split
+    point and the text survives verbatim (regression: an earlier
+    token-matching regex silently dropped '버전 2.' from '버전 2.5를')."""
+    from tacotron_tpu.synth.synthesizer import split_text
+
+    cleaners = ["korean_cleaners"]
+    cases = [
+        "버전 2.5를 사용하세요.",
+        "끝...다음 문장이 이어집니다.",
+        "그가 \"안녕하세요.\"라고 말했다. 그리고 떠났다.",
+        "쉼표,뒤에,공백이,없다",
+        "마침표 없이 끝나는 문장",
+    ]
+    for text in cases:
+        for budget in (500, 20):
+            chunks = split_text(text, budget, cleaners)
+            # every input character (ignoring whitespace) is preserved,
+            # in order
+            assert ("".join(chunks).replace(" ", "")
+                    == text.replace(" ", "")), (text, budget, chunks)
+
+
 def test_synthesize_long_stitches_chunks():
     """synthesize_long = one batched decode over the chunks + silence gaps
     between them (the working replacement for the reference's dead
