@@ -903,6 +903,7 @@ class Synthesizer:
                         max_chunk_tokens: int = 120,
                         gap_sentence_ms: float = 180.0,
                         gap_clause_ms: float = 80.0,
+                        fade_ms: float = 10.0,
                         robust: bool = True,
                         **kwargs) -> Dict:
         """Synthesize a text of ANY length as one waveform.
@@ -944,8 +945,18 @@ class Synthesizer:
         res = call(texts=chunks,
                    speaker_ids=[speaker_id] * len(chunks), **kwargs)
         sr = cfg.audio.sample_rate
+        # short linear fades at the stitch boundaries: attention/dB trim
+        # can cut a chunk at a non-zero sample, which would click against
+        # the inserted silence
+        fade = max(1, int(sr * fade_ms / 1000.0))
         pieces: List[np.ndarray] = []
         for i, (chunk, wav) in enumerate(zip(chunks, res["wavs"])):
+            wav = np.asarray(wav, np.float32).copy()
+            n = min(fade, len(wav))
+            if i > 0 and n:
+                wav[:n] *= np.linspace(0.0, 1.0, n, dtype=np.float32)
+            if i < len(chunks) - 1 and n:
+                wav[-n:] *= np.linspace(1.0, 0.0, n, dtype=np.float32)
             pieces.append(wav)
             if i == len(chunks) - 1:
                 continue
