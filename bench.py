@@ -97,7 +97,7 @@ def main() -> None:
 
     # ---- build the batch once; greedy decode + batched on-chip Griffin-Lim
     from tacotron_tpu.text import text_to_sequence
-    cleaners = [c.strip() for c in cfg.data.cleaners.split(",")]
+    cleaners = list(cfg.data.cleaner_names())
     seqs = [text_to_sequence(t, cleaners) for t in texts]
     bucket = 64
     inputs = np.zeros((BATCH, bucket), np.int32)

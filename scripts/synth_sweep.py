@@ -42,7 +42,7 @@ def main() -> None:
     model, variables = synth.model, synth.variables
 
     from tacotron_tpu.text import text_to_sequence
-    cleaners = [c.strip() for c in cfg.data.cleaners.split(",")]
+    cleaners = list(cfg.data.cleaner_names())
     texts = [
         "안녕하세요 오늘은 정말 좋은 날씨입니다 함께 산책을 나가요",
         "음성 합성 시스템의 품질을 평가하기 위한 문장입니다",

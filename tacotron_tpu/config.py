@@ -223,6 +223,12 @@ class DataConfig:
     # (TrainConfig.on_device_features).
     store_waveform: bool = False
 
+    def cleaner_names(self) -> Tuple[str, ...]:
+        """The ``cleaners`` field parsed into names — the ONE place the
+        comma-separated string is interpreted (builder, trainer,
+        synthesizer and bench all call this)."""
+        return tuple(c.strip() for c in self.cleaners.split(","))
+
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:

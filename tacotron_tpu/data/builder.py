@@ -140,8 +140,8 @@ def build_from_path(metadata_path: str, config: Config,
             resolved[full] = text
     texts, coeffs = resolve_loss_coeffs(resolved, config.train)
 
-    cleaners = list(cleaner_names) if cleaner_names else [
-        c.strip() for c in config.data.cleaners.split(",")]
+    cleaners = (list(cleaner_names) if cleaner_names
+                else list(config.data.cleaner_names()))
 
     jobs = []
     skipped = 0

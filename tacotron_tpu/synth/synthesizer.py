@@ -528,9 +528,9 @@ class Synthesizer:
         return self._compiled[key]
 
     def cleaner_names(self) -> List[str]:
-        """The configured text-cleaner pipeline as a list (the one place
-        the comma-separated config field is parsed)."""
-        return [c.strip() for c in self.config.data.cleaners.split(",")]
+        """The configured text-cleaner pipeline as a list
+        (:meth:`DataConfig.cleaner_names`)."""
+        return list(self.config.data.cleaner_names())
 
     # -------------------------------------------------------------- prewarm
 
@@ -945,17 +945,17 @@ class Synthesizer:
         res = call(texts=chunks,
                    speaker_ids=[speaker_id] * len(chunks), **kwargs)
         sr = cfg.audio.sample_rate
-        # short linear fades at the stitch boundaries: attention/dB trim
-        # can cut a chunk at a non-zero sample, which would click against
-        # the inserted silence
-        fade = max(1, int(sr * fade_ms / 1000.0))
+        # short linear fades at every piece edge: attention/dB trim can cut
+        # a chunk at a non-zero sample, which clicks against the inserted
+        # silence (and at the document's ends, against playback start/stop)
+        fade = int(sr * fade_ms / 1000.0)  # fade_ms=0 disables
         pieces: List[np.ndarray] = []
         for i, (chunk, wav) in enumerate(zip(chunks, res["wavs"])):
-            wav = np.asarray(wav, np.float32).copy()
+            wav = np.asarray(wav, np.float32)
             n = min(fade, len(wav))
-            if i > 0 and n:
+            if n > 0:
+                wav = wav.copy()
                 wav[:n] *= np.linspace(0.0, 1.0, n, dtype=np.float32)
-            if i < len(chunks) - 1 and n:
                 wav[-n:] *= np.linspace(1.0, 0.0, n, dtype=np.float32)
             pieces.append(wav)
             if i == len(chunks) - 1:

@@ -77,7 +77,7 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
     if config.data.symbol_set == "korean":
         from ..text import round_trip_errors
         from ..text.eval_sentences import EVAL_TEXTS
-        cleaners = [c.strip() for c in config.data.cleaners.split(",")]
+        cleaners = list(config.data.cleaner_names())
         errors = round_trip_errors(EVAL_TEXTS, cleaners,
                                    symbol_set=config.data.symbol_set)
         if errors:

@@ -482,26 +482,30 @@ def test_mulaw_codec_full_range_snr():
 
 
 def test_synthesize_long_fades_stitch_boundaries():
-    """Chunks are faded in/out at stitch boundaries so trimmed cuts don't
-    click against the inserted silence; the document's very start and end
-    are NOT faded."""
+    """Every piece edge is faded so trim-cut samples don't click against
+    the inserted silence or playback start/stop; fade_ms=0 disables
+    fading entirely (audio byte-identical to the raw pieces)."""
     cfg = Config().replace(model=ModelConfig(max_iters=6))
     synth = Synthesizer().init_random(cfg)
-    out = synth.synthesize_long(
-        "안녕하세요. 반갑습니다 여러분.", max_chunk_tokens=12, robust=False,
-        max_steps=6, vocode="host", attention_trim=False,
-        librosa_trim=False, gap_sentence_ms=50.0, gap_clause_ms=50.0,
-        fade_ms=10.0)
+    kw = dict(max_chunk_tokens=12, robust=False, max_steps=6,
+              vocode="host", attention_trim=False, librosa_trim=False,
+              gap_sentence_ms=50.0, gap_clause_ms=50.0)
+    out = synth.synthesize_long("안녕하세요. 반갑습니다 여러분.",
+                                fade_ms=10.0, **kw)
     assert len(out["chunks"]) >= 2
     sr = cfg.audio.sample_rate
-    fade = int(sr * 10.0 / 1000.0)
     raw = out["parts"]["wavs"]
     stitched = out["wav"]
-    # first piece: start untouched, end faded to (near) zero
     n0 = len(raw[0])
-    np.testing.assert_allclose(stitched[:fade], raw[0][:fade], atol=1e-7)
-    assert abs(stitched[n0 - 1]) <= abs(raw[0][-1]) + 1e-7
-    assert abs(stitched[n0 - 1]) < 1e-6  # last faded sample ~ 0
+    # every edge of every piece fades to (near) zero
+    assert abs(stitched[0]) < 1e-6
+    assert abs(stitched[n0 - 1]) < 1e-6
+    assert abs(stitched[-1]) < 1e-6
     # the gap between pieces is exact silence
     gap = int(sr * 50.0 / 1000.0)
     np.testing.assert_array_equal(stitched[n0:n0 + gap], 0.0)
+    # fade_ms=0 leaves the pieces untouched
+    out0 = synth.synthesize_long("안녕하세요. 반갑습니다 여러분.",
+                                 fade_ms=0.0, **kw)
+    raw0 = out0["parts"]["wavs"]
+    np.testing.assert_array_equal(out0["wav"][:len(raw0[0])], raw0[0])
