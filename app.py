@@ -4,8 +4,10 @@
 Same API surface as the reference Flask app, on the stdlib HTTP server
 (Flask is not vendored here):
 
-    GET /generate?text=...&speaker_id=0   -> audio/wav
-    GET /                                  -> minimal player page
+    GET  /generate?text=...&speaker_id=0  -> audio/wav
+    POST /generate  (JSON or form body)   -> audio/wav (long documents
+                                             beyond GET URL limits)
+    GET  /                                 -> minimal player page
 
 Responses are cached by md5(text) per model/speaker like the reference
 (``app.py:55-84``).  CORS headers are always sent (the reference uses
@@ -188,14 +190,46 @@ def make_handler(worker: SynthWorker, cache_dir: str, model_name: str):
                 return
 
             q = urllib.parse.parse_qs(parsed.query)
-            text = (q.get("text", [""])[0] or "").strip()
+            self._generate((q.get("text", [""])[0] or ""),
+                           q.get("speaker_id", ["0"])[0])
+
+        def do_POST(self):
+            """POST /generate with a JSON or form body — the route for
+            long documents that exceed practical GET URL limits (the
+            long-text path happily synthesizes multi-KB texts)."""
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path != "/generate":
+                self._send(404, b"not found", "text/plain")
+                return
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length) if length else b""
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            text, speaker_raw = "", "0"
+            try:
+                if ctype == "application/json":
+                    payload = json.loads(body.decode("utf-8"))
+                    text = str(payload.get("text", ""))
+                    speaker_raw = str(payload.get("speaker_id", 0))
+                else:  # form-encoded (curl -d 'text=...')
+                    q = urllib.parse.parse_qs(body.decode("utf-8"))
+                    text = (q.get("text", [""])[0] or "")
+                    speaker_raw = q.get("speaker_id", ["0"])[0]
+            except (ValueError, UnicodeDecodeError):
+                self._send(400, json.dumps(
+                    {"error": "unparseable request body"}).encode(),
+                    "application/json")
+                return
+            self._generate(text, speaker_raw)
+
+        def _generate(self, text: str, speaker_raw: str) -> None:
+            text = text.strip()
             if not text:
                 self._send(400, json.dumps(
                     {"error": "missing text parameter"}).encode(),
                     "application/json")
                 return
             try:
-                speaker = int(q.get("speaker_id", ["0"])[0])
+                speaker = int(speaker_raw)
             except ValueError:
                 self._send(400, json.dumps(
                     {"error": "speaker_id must be an integer"}).encode(),

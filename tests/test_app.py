@@ -189,3 +189,45 @@ def test_generate_long_text_routes_through_chunking(server):
     assert body[:4] == b"RIFF"
     assert getattr(fake, "long_calls", 0) == 1
     assert fake.calls == 0  # did not go through the plain path
+
+
+def _post(host, port, path, body, ctype):
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    conn.request("POST", path, body=body, headers={"Content-Type": ctype})
+    resp = conn.getresponse()
+    out = (resp.status, resp.read())
+    conn.close()
+    return out
+
+
+def test_generate_post_json_and_form(server):
+    """POST /generate accepts JSON and form bodies — the route for texts
+    too long for a GET URL; caching matches the GET path."""
+    host, port, fake, _ = server
+    long_text = "아주 긴 문서입니다. " * 200  # ~4 KB, beyond GET comfort
+    status, body = _post(host, port, "/generate",
+                         json.dumps({"text": long_text, "speaker_id": 1}),
+                         "application/json")
+    assert status == 200 and body[:4] == b"RIFF"
+    assert getattr(fake, "long_calls", 0) == 1
+
+    # same text via GET now hits the cache (no new synthesis)
+    status2, _, body2 = _get(host, port, "/generate?" +
+                             urllib.parse.urlencode(
+                                 {"text": long_text, "speaker_id": 1}))
+    assert status2 == 200 and body2 == body
+    assert fake.long_calls == 1
+
+    # form-encoded body works too
+    status3, body3 = _post(host, port, "/generate",
+                           urllib.parse.urlencode(
+                               {"text": "안녕하세요", "speaker_id": 0}),
+                           "application/x-www-form-urlencoded")
+    assert status3 == 200 and body3[:4] == b"RIFF"
+
+    # bad bodies are clean 400s
+    status4, body4 = _post(host, port, "/generate", b"\xff\xfe not json",
+                           "application/json")
+    assert status4 == 400 and "unparseable" in json.loads(body4)["error"]
+    status5, _ = _post(host, port, "/generate", b"", "application/json")
+    assert status5 == 400
