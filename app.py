@@ -29,6 +29,12 @@ from tacotron_tpu.config import Config
 from tacotron_tpu.synth import Synthesizer
 
 
+# POST /generate body cap: large enough for any real document (the long-text
+# path handles multi-KB texts fine) while keeping a hostile multi-MB body
+# from monopolizing the single synthesis worker.
+MAX_BODY_BYTES = 1 << 20
+
+
 class SynthWorker:
     """Serializes synthesis onto the main thread.
 
@@ -201,8 +207,21 @@ def make_handler(worker: SynthWorker, cache_dir: str, model_name: str):
             if parsed.path != "/generate":
                 self._send(404, b"not found", "text/plain")
                 return
-            length = int(self.headers.get("Content-Length") or 0)
-            body = self.rfile.read(length) if length else b""
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                self._send(400, json.dumps(
+                    {"error": "bad Content-Length header"}).encode(),
+                    "application/json")
+                return
+            if length > MAX_BODY_BYTES:
+                # a multi-MB body would tie up the single synthesis worker
+                # for the full request timeout; refuse it up front
+                self._send(413, json.dumps(
+                    {"error": f"body too large (cap {MAX_BODY_BYTES} "
+                              f"bytes)"}).encode(), "application/json")
+                return
+            body = self.rfile.read(length) if length > 0 else b""
             ctype = (self.headers.get("Content-Type") or "").split(";")[0]
             text, speaker_raw = "", "0"
             try:

@@ -132,6 +132,13 @@ class ModelConfig:
 
     reduction_factor: int = 4
     max_iters: int = 200  # decoder step cap (reference models/tacotron.py:210)
+    # Decoder steps per input token, used by the synthesizer's
+    # length-adaptive decode budget (synth.synthesizer.adaptive_max_steps).
+    # Default 4.0 covers the worst case the reference's corpus filter
+    # admits (796 frames at min_tokens=50, datasets/datafeeder.py:97-98);
+    # raise it for voices/symbol sets that speak more frames per token
+    # (the synthesizer warns when a decode consumes the whole budget).
+    steps_per_token: float = 4.0
 
     # Numerics: params/math in float32 by default for parity with the reference;
     # flip to bfloat16 to run matmuls on the MXU at twice the throughput.

@@ -20,6 +20,7 @@ import dataclasses
 import os
 import re
 import time
+import warnings
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -153,7 +154,30 @@ def split_text(text: str, max_chunk_tokens: int,
             if ntok(c) <= max_chunk_tokens:
                 out.append(c)
             else:  # single clause still too big: split on words
-                words, cur = c.split(), ""
+                def hard(word: str) -> List[str]:
+                    """Last-resort character-level split of a single
+                    over-budget 'word' — whitespace/punctuation-free runs
+                    happen in real documents (URLs, long digit strings,
+                    no-space CJK) and would otherwise blow past the
+                    prewarmed token buckets and be truncated by the
+                    decode-step cap."""
+                    if ntok(word) <= max_chunk_tokens:
+                        return [word]
+                    parts: List[str] = []
+                    acc = ""
+                    for ch in word:
+                        cand = acc + ch
+                        if acc and ntok(cand) > max_chunk_tokens:
+                            parts.append(acc)
+                            acc = ch
+                        else:
+                            acc = cand
+                    if acc:
+                        parts.append(acc)
+                    return parts
+
+                words = [p for w in c.split() for p in hard(w)]
+                cur = ""
                 for w in words:
                     cand = (cur + " " + w).strip()
                     if cur and ntok(cand) > max_chunk_tokens:
@@ -671,9 +695,11 @@ class Synthesizer:
 
         # Length-adaptive decode budget when the caller does not pass one
         # (what app.py / eval.py serve with): see adaptive_max_steps.
+        adaptive = max_steps is None
         steps = (max_steps if max_steps is not None else
                  adaptive_max_steps(max(seq_lens), cfg.data.min_iters,
-                                    cfg.model.max_iters))
+                                    cfg.model.max_iters,
+                                    steps_per_token=cfg.model.steps_per_token))
         spk = (np.asarray(speaker_ids, np.int32)
                if speaker_ids is not None else np.zeros((N,), np.int32))
         if cfg.model.num_speakers <= 1:
@@ -720,6 +746,8 @@ class Synthesizer:
 
         r = cfg.model.reduction_factor
         hop = cfg.audio.hop_length
+        full_frames = steps * r  # an end at the cap = possible truncation
+        budget_hits = 0
         wavs: List[np.ndarray] = []
         aligns: List[np.ndarray] = []
         specs: Optional[List[np.ndarray]] = None
@@ -781,6 +809,7 @@ class Synthesizer:
                     denom = 10.0 ** (denom_db / 20.0)
                     expanded = mulaw_decode(wav_rows)
                     for i in range(hi - lo):
+                        budget_hits += int(ends[i]) >= full_frames
                         n_samples = min(expanded.shape[1],
                                         int(ends[i]) * hop)
                         wavs.append(expanded[i, :n_samples] * denom[i])
@@ -792,6 +821,7 @@ class Synthesizer:
                 # chip path returns true amplitudes like the host path
                 denom = 10.0 ** (denom_q.astype(np.float32) / 100.0 / 20.0)
                 for i in range(hi - lo):
+                    budget_hits += int(ends[i]) >= full_frames
                     n_samples = min(wav_i16.shape[1], int(ends[i]) * hop)
                     wavs.append(wav_i16[i, :n_samples].astype(np.float32)
                                 * (denom[i] / 32767.0))
@@ -811,6 +841,7 @@ class Synthesizer:
                 align = alignments[i, :seq_lens[i], :]
                 if attention_trim:
                     end = attention_trim_index(align, seq_lens[i], r)
+                    budget_hits += end >= full_frames
                     spec = spec[:max(end, r)]
                 specs.append(spec)
                 aligns.append(align)
@@ -822,6 +853,19 @@ class Synthesizer:
 
         if librosa_trim and vocode != "none":
             wavs = [trim_silence_db(w) for w in wavs]
+
+        if adaptive and attention_trim and budget_hits \
+                and steps < cfg.model.max_iters:
+            # A decode that runs to the END of a length-adaptive budget was
+            # probably cut mid-utterance (normal decodes stop earlier and
+            # get trimmed).  Silent truncation is the failure mode of the
+            # adaptive budget — make it loud.
+            warnings.warn(
+                f"{budget_hits}/{N} utterance(s) consumed the entire "
+                f"adaptive decode budget ({steps} steps at "
+                f"{cfg.model.steps_per_token} steps/token) and may be "
+                f"truncated; raise ModelConfig.steps_per_token or pass "
+                f"max_steps explicitly", stacklevel=2)
 
         if collect_timings and vocode == "chip":
             t_end = time.perf_counter()

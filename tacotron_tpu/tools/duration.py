@@ -69,6 +69,20 @@ def mp3_duration(path: str) -> float:
                             else _MP3_BITRATES_V2)
                 bitrate = bitrates[br_idx] * 1000
                 samples_per_frame = 1152 if version == 3 else 576
+                # Reject false syncs (0xFF Ex bytes inside tag padding or
+                # album art would otherwise yield a wrong bitrate): the
+                # candidate must be followed by another frame header at
+                # pos + frame length.  Accept when the next frame lies
+                # beyond the read buffer (single-frame / tiny files).
+                padding = (b2 >> 1) & 0x1
+                frame_len = (samples_per_frame // 8 * bitrate
+                             // sample_rate + padding)
+                nxt = pos + frame_len
+                if nxt + 2 <= len(data) and not (
+                        data[nxt] == 0xFF
+                        and (data[nxt + 1] & 0xE0) == 0xE0):
+                    pos += 1
+                    continue
                 # Xing/Info header (VBR): exact frame count
                 window = data[pos:pos + 200]
                 for magic in (b"Xing", b"Info"):

@@ -231,3 +231,34 @@ def test_generate_post_json_and_form(server):
     assert status4 == 400 and "unparseable" in json.loads(body4)["error"]
     status5, _ = _post(host, port, "/generate", b"", "application/json")
     assert status5 == 400
+
+
+def test_post_header_and_body_limits(server):
+    """POST /generate refuses malformed Content-Length with a clean 400
+    (not a dropped connection) and oversized bodies with 413 before
+    reading them — a multi-MB body must not monopolize the synthesis
+    worker (round-3 advisor finding)."""
+    import socket
+
+    host, port, _, _ = server
+
+    def raw(request: bytes) -> bytes:
+        with socket.create_connection((host, port), timeout=30) as s:
+            s.sendall(request)
+            out = b""
+            while True:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                out += chunk
+            return out
+
+    resp = raw(b"POST /generate HTTP/1.1\r\nHost: t\r\n"
+               b"Content-Type: application/json\r\n"
+               b"Content-Length: banana\r\n\r\n")
+    assert resp.split(b"\r\n", 1)[0].split()[1] == b"400"
+
+    resp = raw(b"POST /generate HTTP/1.1\r\nHost: t\r\n"
+               b"Content-Type: application/json\r\n"
+               b"Content-Length: 10000000\r\n\r\n")
+    assert resp.split(b"\r\n", 1)[0].split()[1] == b"413"

@@ -300,9 +300,25 @@ class TestDurations:
                 + struct.pack(">I", 100))
         frame = (header + xing + bytes(417 - 4 - len(xing)))
         path = tmp_path / "v.mp3"
-        path.write_bytes(id3 + tag_body + frame + bytes(4170))
+        plain = header + bytes(413)  # following CBR frames (417 bytes)
+        path.write_bytes(id3 + tag_body + frame + plain * 10)
         got = mp3_duration(str(path))
         assert abs(got - 100 * 1152 / 44100) < 1e-6
+
+    def test_mp3_false_sync_rejected(self, tmp_path):
+        from tacotron_tpu.tools.duration import mp3_duration
+        # A plausible-looking header (MPEG-1 L3, 32 kbps -> frame 104
+        # bytes) buried in garbage, NOT followed by another frame: the
+        # parser must skip it and lock onto the real 128 kbps stream.
+        false_sync = bytes([0xFF, 0xFB, 0x20, 0x00]) + bytes(200)
+        header = bytes([0xFF, 0xFB, 0x90, 0x00])
+        frame = header + bytes(413)
+        path = tmp_path / "g.mp3"
+        path.write_bytes(false_sync + frame * 10)
+        size = len(false_sync) + 417 * 10
+        # CBR estimate from the REAL frame position/bitrate
+        expected = (size - len(false_sync)) * 8.0 / 128000
+        assert abs(mp3_duration(str(path)) - expected) < 1e-6
 
     def test_m4a_mvhd(self, tmp_path):
         import struct
