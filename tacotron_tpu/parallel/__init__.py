@@ -14,9 +14,10 @@ from .distributed import initialize as distributed_initialize
 from .distributed import runtime_info
 from .mesh import (MeshPlan, batch_sharding, make_mesh,
                    replicated_sharding, shard_batch)
+from .prefetch import DevicePrefetcher
 
 __all__ = [
-    "MeshPlan", "batch_sharding", "distributed_initialize",
-    "make_mesh", "replicated_sharding", "runtime_info",
-    "shard_batch",
+    "DevicePrefetcher", "MeshPlan", "batch_sharding",
+    "distributed_initialize", "make_mesh", "replicated_sharding",
+    "runtime_info", "shard_batch",
 ]

@@ -45,7 +45,8 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
           skip_path_filter: bool = False,
           blacklists: Sequence[str] = (),
           prewarm: bool = False,
-          sync_every: int = 25) -> TrainState:
+          sync_every: int = 25,
+          prefetch_depth: int = 2) -> TrainState:
     """Run the training loop; returns the final state.
 
     ``sync_every`` controls the dispatch-ahead depth: device metrics are
@@ -58,7 +59,16 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
     ``sync_every`` steps, and a diverged state is never checkpointed
     because the flush runs before every save).  ``sync_every=1`` restores
     the reference's fully synchronous ``sess.run`` cadence
-    (``/root/reference/train.py:215-230``)."""
+    (``/root/reference/train.py:215-230``).
+
+    ``prefetch_depth`` double-buffers the host->device transfer: a
+    background thread issues ``shard_batch`` for batch k+1 while step k
+    computes (``parallel/prefetch.py``), so a transfer-bound loop runs at
+    max(transfer, compute) instead of their sum — the jax successor to the
+    reference's FIFOQueue enqueue thread
+    (``/root/reference/datasets/datafeeder.py:157-167``).  0 restores the
+    synchronous transfer on the critical path; batch order (and therefore
+    the trained parameters) is identical either way."""
     os.makedirs(run_dir, exist_ok=True)
     init_log(os.path.join(run_dir, "train.log"), os.path.basename(run_dir),
              webhook_url=webhook_url)
@@ -148,6 +158,18 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
             del dummy
             log(f"prewarm done in {time.time() - t0:.1f} s")
 
+    prefetcher = None
+    if prefetch_depth > 0:
+        from ..parallel.prefetch import DevicePrefetcher
+        prefetcher = DevicePrefetcher(
+            train_feeder.get,
+            lambda b: Batch(*shard_batch(plan, b)),
+            depth=prefetch_depth)
+        get_batch = prefetcher.get
+    else:
+        def get_batch():
+            return Batch(*shard_batch(plan, train_feeder.get()))
+
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
     tc = config.train
     profiling = False
@@ -198,7 +220,7 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
                 profiling = True
                 log(f"profiler trace started -> {profile_dir}")
             start = time.time()
-            batch = Batch(*shard_batch(plan, train_feeder.get()))
+            batch = get_batch()
             state, metrics = step_fn(state, batch, dropout_rng)
             step = host_step = host_step + 1
             if not metric_keys:
@@ -247,6 +269,8 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
     finally:
         if profiling:
             jax.profiler.stop_trace()
+        if prefetcher is not None:
+            prefetcher.stop()
         train_feeder.stop()
         metrics_log.close()
         if not diverged:

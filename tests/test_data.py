@@ -438,3 +438,32 @@ def test_on_device_features_pipeline(tmp_path):
                      data_type="train", batch_size=2, n_test=1)
     with pytest.raises(CorpusFormatError):
         next(bad.batches())
+
+
+def test_train_prefetch_matches_synchronous(corpus, tmp_path):
+    """prefetch_depth>0 overlaps H2D transfer with compute but consumes the
+    exact same batch sequence: parameters after N steps are bitwise equal
+    to the synchronous loop's (round-3 verdict ask #2)."""
+    import dataclasses
+    import jax
+    from tacotron_tpu.parallel import make_mesh
+    from tacotron_tpu.train.driver import train
+
+    cfg = _tiny_config()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, test_interval=100, checkpoint_interval=100,
+        decay_learning_rate_mode=1))
+    plan = make_mesh(devices=jax.devices()[:2])
+    s_sync = train(str(tmp_path / "sync"), corpus, cfg, num_steps=4,
+                   plan=plan, prefetch_depth=0)
+    s_pre = train(str(tmp_path / "pre"), corpus, cfg, num_steps=4,
+                  plan=plan, prefetch_depth=2)
+    assert int(s_sync.step) == int(s_pre.step) == 4
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        s_sync.params, s_pre.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        s_sync.batch_stats, s_pre.batch_stats)

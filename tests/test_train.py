@@ -275,3 +275,21 @@ def test_async_checkpoint_save_is_donation_safe(tmp_path):
     assert int(restored.step) == 7
     np.testing.assert_array_equal(
         np.asarray(jax.tree.leaves(restored.params)[0]), before)
+
+
+def test_device_prefetcher_order_and_error_propagation():
+    """The prefetcher preserves source order (single producer, FIFO) and
+    re-raises producer exceptions at the consumer once drained."""
+    from tacotron_tpu.parallel import DevicePrefetcher
+
+    items = iter(range(10))
+    pf = DevicePrefetcher(lambda: next(items), lambda x: x * 2, depth=3)
+    try:
+        assert [pf.get() for _ in range(10)] == [2 * i for i in range(10)]
+        with pytest.raises(StopIteration):
+            pf.get()
+    finally:
+        pf.stop()
+
+    with pytest.raises(ValueError):
+        DevicePrefetcher(lambda: 0, lambda x: x, depth=0)

@@ -58,6 +58,10 @@ def main(argv=None) -> None:
                              "+36%% f32 step throughput, scripts/"
                              "train_profile.py), or an integer forcing "
                              "both knobs")
+    parser.add_argument("--prefetch_depth", type=int, default=2,
+                        help="device batches transferred ahead of the "
+                             "compute step (H2D/compute overlap); 0 = "
+                             "synchronous transfer on the critical path")
     parser.add_argument("--sync_every", type=int, default=25,
                         help="steps between host metric flushes (dispatch-"
                              "ahead depth); 1 = fully synchronous like the "
@@ -125,7 +129,8 @@ def main(argv=None) -> None:
           skip_path_filter=args.skip_path_filter,
           blacklists=[b for b in args.blacklists.split(",") if b],
           prewarm=args.prewarm,
-          sync_every=args.sync_every)
+          sync_every=args.sync_every,
+          prefetch_depth=args.prefetch_depth)
 
 
 if __name__ == "__main__":
