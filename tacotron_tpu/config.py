@@ -305,6 +305,44 @@ class Config:
     def replace(self, **sections) -> "Config":
         return dataclasses.replace(self, **sections)
 
+    @classmethod
+    def tpu_recommended(cls, base: "Config" = None,
+                        batch_size: int = 64) -> "Config":
+        """The ONE composed TPU training preset (``train.py --preset tpu``).
+
+        Applies every individually-measured TPU win on top of ``base``
+        (default config if omitted):
+
+        - ``compute_dtype="bfloat16"``: +26% steady-state step throughput,
+          convergence equivalent to f32 (docs/BF16_STUDY.md; params and
+          optimizer state stay f32 either way);
+        - ``decoder_unroll=rnn_unroll=8``: +36% f32 step time
+          (scripts/train_profile.py), output-identical;
+        - ``on_device_features=True`` + ``store_waveform=True``: int16
+          waveform wire + on-chip mel/linear extraction — 7.4x fewer H2D
+          bytes per step (5.4x measured wall win on the tunneled link);
+          corpora must be built with this config so the .npz carries the
+          waveform;
+        - ``batch_size=64``: 2.4x step throughput vs B=16 at equal
+          per-sample convergence (docs/BATCH_STUDY.md — loss-vs-samples
+          curves overlap; the Noam warmup is step-based, so at 4x the
+          batch the model sees 4x the samples per warmup step, measured
+          benign at this scale).
+
+        Exact-reference-parity defaults stay on ``Config()``; this preset
+        is where TPU production training should start.
+        """
+        base = base if base is not None else cls()
+        return base.replace(
+            model=dataclasses.replace(
+                base.model, compute_dtype="bfloat16",
+                decoder_unroll=8, rnn_unroll=8),
+            train=dataclasses.replace(
+                base.train, on_device_features=True,
+                batch_size=batch_size),
+            data=dataclasses.replace(base.data, store_waveform=True),
+        )
+
     def debug_string(self) -> str:
         """Sorted hyperparameter dump (reference ``hparams.py:153-156``)."""
         flat = {}

