@@ -1,0 +1,261 @@
+#!/usr/bin/env python3
+"""Convergence demonstration: train until attention aligns, then prove it.
+
+The one property Tacotron training lives or dies by is the attention
+diagonal forming — the reference monitors it with periodic alignment dumps
+(``/root/reference/train.py:246-270``) and quality-gates releases on it
+(``/root/reference/README.md:109``).  This script is the committed,
+reproducible version of that loop on real TPU hardware:
+
+1. build the synthetic melody corpus (scripts/make_synthetic_corpus.py:
+   audio is a deterministic monotonic function of the token sequence, with
+   disjoint per-speaker octaves);
+2. train the full-size deepvoice 2-speaker model with ``train.py``'s real
+   driver under the TPU preset (Config.tpu_recommended: bf16 + unroll 8 +
+   on-device features) and the default Noam schedule;
+3. evaluate on HELD-OUT sentences (never trained on): per-speaker
+   attention_health via tools/speaker_eval, plus each synthesized wav's
+   dominant frequency, which must land in its speaker's octave;
+4. write docs/CONVERGENCE.md + artifacts (loss curve PNG, alignment PNGs
+   showing the diagonal forming, the eval report JSON).
+
+Usage::
+
+    python scripts/convergence_study.py --work /tmp/tacotron_convergence \
+        --steps 8000 --out docs/CONVERGENCE.md --artifacts docs/convergence
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+
+def build_corpus(work: str, utterances: int, batch_size: int) -> list:
+    corpus = os.path.join(work, "corpus")
+    if not os.path.exists(os.path.join(corpus, "heldout.json")):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "make_synthetic_corpus.py"),
+             corpus, "--style", "melody", "--utterances", str(utterances),
+             "--batch_size", str(batch_size), "--store_waveform"],
+            check=True)
+    from tacotron_tpu.config import load_config
+    from tacotron_tpu.data import build_from_path
+    cfg = load_config(os.path.join(corpus, "config.json"))
+    dirs = []
+    for spk_dir in sorted(glob.glob(os.path.join(corpus, "spk*"))):
+        build_from_path(os.path.join(spk_dir, "metadata.csv"), cfg,
+                        num_workers=4)
+        dirs.append(os.path.join(spk_dir, "data"))
+    return dirs
+
+
+def dominant_hz(wav: np.ndarray, sr: int) -> float:
+    wav = np.asarray(wav, np.float64)
+    if wav.size < 256:
+        return 0.0
+    mag = np.abs(np.fft.rfft(wav * np.hanning(len(wav))))
+    freqs = np.fft.rfftfreq(len(wav), 1.0 / sr)
+    return float(freqs[mag.argmax()])
+
+
+def plot_loss_curve(metrics_path: str, out_png: str) -> list:
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from tacotron_tpu.utils import read_metrics
+    recs = read_metrics(metrics_path, kind="train")
+    steps = [r["step"] for r in recs]
+    losses = [r["loss"] for r in recs]
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.plot(steps, losses, lw=0.8)
+    ax.set_xlabel("step")
+    ax.set_ylabel("loss")
+    ax.set_yscale("log")
+    ax.set_title("training loss (melody corpus, TPU preset)")
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+    return [(s, l) for s, l in zip(steps, losses)]
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--work", default="/tmp/tacotron_convergence")
+    parser.add_argument("--steps", type=int, default=8000)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--utterances", type=int, default=96)
+    parser.add_argument("--out", default=None,
+                        help="write the markdown report here")
+    parser.add_argument("--artifacts", default=None,
+                        help="directory for loss/alignment PNGs + report")
+    parser.add_argument("--dump_every", type=int, default=500)
+    args = parser.parse_args()
+
+    import tacotron_tpu
+    tacotron_tpu.enable_compilation_cache()
+    import jax
+
+    os.makedirs(args.work, exist_ok=True)
+    data_dirs = build_corpus(args.work, args.utterances, args.batch_size)
+    corpus = os.path.join(args.work, "corpus")
+    heldout = json.load(open(os.path.join(corpus, "heldout.json")))
+
+    from tacotron_tpu.config import Config, load_config
+    from tacotron_tpu.train.driver import train
+
+    base = load_config(os.path.join(corpus, "config.json"))
+    cfg = Config.tpu_recommended(base, batch_size=args.batch_size)
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, model_type="deepvoice",
+                                  num_speakers=len(data_dirs)),
+        train=dataclasses.replace(cfg.train,
+                                  checkpoint_interval=1000,
+                                  test_interval=args.dump_every))
+
+    run_dir = os.path.join(args.work, "run")
+    t0 = time.time()
+    state = train(run_dir, data_dirs, cfg, num_steps=args.steps,
+                  log_every=25, prewarm=True,
+                  test_dump_dir=os.path.join(run_dir, "samples"))
+    train_s = time.time() - t0
+    print(f"[*] trained {int(state.step)} steps in {train_s:.0f} s "
+          f"({int(state.step) / max(train_s, 1e-9):.1f} steps/s)")
+
+    # -------------------------------------------------- held-out evaluation
+    from tacotron_tpu.synth import Synthesizer
+    from tacotron_tpu.tools.speaker_eval import evaluate_speakers
+
+    synth = Synthesizer().load(run_dir)
+    sr = synth.config.audio.sample_rate
+    report = evaluate_speakers(synth, texts=heldout, save_dir=None)
+
+    # dominant-frequency check: re-synthesize per speaker and locate each
+    # wav's spectral peak inside the speaker's octave [140*2^s, 280*2^s)
+    f0_results = {}
+    for spk in range(len(data_dirs)):
+        res = synth.synthesize(texts=heldout,
+                               speaker_ids=[spk] * len(heldout))
+        lo, hi = 140.0 * 2 ** spk, 140.0 * 2 ** (spk + 1)
+        peaks = [dominant_hz(w, sr) for w in res["wavs"]]
+        in_band = [lo * 0.9 <= p < hi * 1.1 for p in peaks]
+        f0_results[str(spk)] = {
+            "band_hz": [lo, hi], "peaks_hz": peaks,
+            "in_band_rate": float(np.mean(in_band)),
+        }
+
+    # ------------------------------------------------------------ artifacts
+    art = args.artifacts or os.path.join(args.work, "artifacts")
+    os.makedirs(art, exist_ok=True)
+    curve = plot_loss_curve(os.path.join(run_dir, "metrics.jsonl"),
+                            os.path.join(art, "loss_curve.png"))
+    pngs = sorted(glob.glob(os.path.join(run_dir, "samples", "*.png")))
+    picked = []
+    if pngs:
+        idx = sorted({0, len(pngs) // 4, len(pngs) // 2, len(pngs) - 1})
+        for i in idx:
+            dst = os.path.join(art, os.path.basename(pngs[i]))
+            shutil.copyfile(pngs[i], dst)
+            picked.append(os.path.basename(dst))
+    payload = {
+        "steps": int(state.step), "train_seconds": train_s,
+        "config": {"batch_size": cfg.train.batch_size,
+                   "compute_dtype": cfg.model.compute_dtype,
+                   "on_device_features": cfg.train.on_device_features,
+                   "schedule": "noam-4k" if
+                   cfg.train.decay_learning_rate_mode == 0 else "exp-decay"},
+        "heldout_texts": heldout,
+        "speaker_eval": report,
+        "dominant_f0": f0_results,
+        "device": str(jax.devices()[0]),
+    }
+    with open(os.path.join(art, "convergence_report.json"), "w") as fh:
+        json.dump(payload, fh, ensure_ascii=False, indent=2)
+
+    # ------------------------------------------------------------- markdown
+    cross = report.get("cross_speaker", {})
+    lines = [
+        "# Convergence demonstration",
+        "",
+        f"Full-size deepvoice 2-speaker model, melody corpus "
+        f"({args.utterances} utts/speaker, held-out eval sentences), "
+        f"TPU preset (bf16, unroll 8, on-device features, "
+        f"B={cfg.train.batch_size}), default Noam schedule; "
+        f"device: {jax.devices()[0]}.",
+        "",
+        f"Trained **{int(state.step)} steps in {train_s:.0f} s** "
+        f"({int(state.step)/max(train_s,1e-9):.1f} steps/s wall, "
+        f"prefetch-to-device pipeline).",
+        "",
+        "## Held-out attention health (greedy decode, unseen sentences)",
+        "",
+        "| speaker | attention ok | coverage | focus | monotonicity |",
+        "|---|---|---|---|---|",
+    ]
+    for spk, rec in report["speakers"].items():
+        a = rec["aggregate"]
+        lines.append(
+            f"| {spk} | {a['attention_ok_rate']:.0%} | "
+            f"{a['mean_coverage']:.3f} | {a['mean_focus']:.3f} | "
+            f"{a['mean_monotonicity']:.3f} |")
+    lines += [
+        "",
+        f"Worst attention_ok across speakers: "
+        f"**{cross.get('worst_attention_ok_rate', 0):.0%}**.",
+        "",
+        "## Per-speaker acoustics (dominant frequency of synthesized audio)",
+        "",
+        "| speaker | octave band (Hz) | in-band rate | example peaks (Hz) |",
+        "|---|---|---|---|",
+    ]
+    for spk, rec in f0_results.items():
+        lo, hi = rec["band_hz"]
+        ex = ", ".join(f"{p:.0f}" for p in rec["peaks_hz"][:4])
+        lines.append(f"| {spk} | [{lo:.0f}, {hi:.0f}) | "
+                     f"{rec['in_band_rate']:.0%} | {ex} |")
+    first = curve[0] if curve else (0, 0.0)
+    last = curve[-1] if curve else (0, 0.0)
+    lines += [
+        "",
+        "## Loss",
+        "",
+        f"step {first[0]}: {first[1]:.4f} -> step {last[0]}: "
+        f"{last[1]:.4f} (curve: `loss_curve.png`).",
+        "",
+        "## Artifacts",
+        "",
+        "- `loss_curve.png` — full training loss curve",
+        *(f"- `{p}` — teacher-forced alignment at that step"
+          for p in picked),
+        "- `convergence_report.json` — the full machine-readable report",
+        "",
+        f"Reproduce: `python scripts/convergence_study.py --steps "
+        f"{args.steps} --batch_size {args.batch_size}`.",
+    ]
+    md = "\n".join(lines) + "\n"
+    out = args.out or os.path.join(art, "CONVERGENCE.md")
+    with open(out, "w") as fh:
+        fh.write(md)
+    print(f"[*] report -> {out}\n[*] artifacts -> {art}")
+    print(json.dumps({"worst_attention_ok":
+                      cross.get("worst_attention_ok_rate", 0.0),
+                      "f0_in_band": {k: v["in_band_rate"]
+                                     for k, v in f0_results.items()}}))
+
+
+if __name__ == "__main__":
+    main()

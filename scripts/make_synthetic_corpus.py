@@ -1,19 +1,35 @@
 #!/usr/bin/env python3
 """Generate a synthetic multi-speaker Korean corpus + run config.
 
-Produces per-speaker sine-tone wavs with per-speaker f0 (so a trained
-model has real per-speaker acoustics to reproduce), `metadata.csv` in the
-builder's `path|text` format, and a run-config JSON whose corpus filters
-accept the short utterances (the reference defaults filter to 120-796
-frames, ``/root/reference/datasets/datafeeder.py:97-98``).
+Two corpus styles:
 
-Used by scripts/e2e_drive.sh, docs/BF16_STUDY.md, and as the template the
-tests' tiny corpora follow.
+- ``melody`` (default): each frontend token of the cleaned text becomes a
+  50 ms tone segment (4 frames = exactly one decoder step at r=4) whose
+  frequency encodes the token id within the speaker's octave; spaces/EOS
+  are silent.  The audio is therefore a deterministic, MONOTONIC function
+  of the token sequence — attention has a real signal to align to, so a
+  training run on this corpus can demonstrate the diagonal forming
+  (docs/CONVERGENCE.md), and per-speaker bands (one octave apart per
+  speaker index) make speaker identity measurable in synthesized audio.
+- ``sine``: per-utterance stationary sine with per-speaker f0 — the
+  round-1..3 corpus, kept for step-time studies where audio content does
+  not matter.
+
+Produces per-speaker wavs, ``metadata.csv`` in the builder's ``path|text``
+format, a run-config JSON whose corpus filters accept the utterances (the
+reference defaults filter to 120-796 frames,
+``/root/reference/datasets/datafeeder.py:97-98``), and ``heldout.json`` —
+sentences excluded from training for generalization eval
+(tools/speaker_eval.py --texts).
+
+Used by scripts/e2e_drive.sh, scripts/convergence_study.py,
+docs/BF16_STUDY.md, and as the template the tests' tiny corpora follow.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
@@ -23,6 +39,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tacotron_tpu.config import Config, DataConfig, TrainConfig  # noqa: E402
 from tacotron_tpu.dsp import host as dsp  # noqa: E402
+from tacotron_tpu.text import text_to_sequence  # noqa: E402
+from tacotron_tpu.text.symbols import EOS_ID, PAD_ID, char_to_id  # noqa: E402
 
 TEXTS = [
     "안녕하세요 만나서 반갑습니다 오늘도 좋은 하루 되세요",
@@ -35,39 +53,120 @@ TEXTS = [
     "도서관은 매우 조용한 곳입니다 책을 읽기 좋아요",
 ]
 
+# combinatorial sentence pool for the melody corpus: enough text variety
+# that held-out sentences are genuinely unseen token sequences
+_SUBJECTS = ["오늘은", "내일은", "어제는", "우리는", "그들은", "아이는"]
+_PLACES = ["아침에", "저녁에", "집에서", "학교에서", "공원에서", "바다에서"]
+_ACTIONS = ["노래를 불러요", "책을 읽어요", "밥을 먹어요", "길을 걸어요",
+            "꿈을 꾸어요", "춤을 춥니다", "차를 마셔요", "별을 봅니다"]
+
+
+def sentence_pool(seed: int = 7) -> list:
+    """All subject x place x action sentences, deterministically shuffled."""
+    pool = [f"{s} {p} {a}" for s in _SUBJECTS for p in _PLACES
+            for a in _ACTIONS]
+    rng = np.random.default_rng(seed)
+    rng.shuffle(pool)
+    return pool
+
+
+#: melody parameters: token segment duration (s) and base frequency (Hz).
+#: 0.05 s = 4 frames at the 12.5 ms shift = one r=4 decoder step per token.
+TOKEN_SECONDS = 0.05
+BASE_F0 = 140.0
+
+_SPACE_ID = char_to_id[" "]
+
+
+def token_frequency(token_id: int, speaker: int,
+                    base: float = BASE_F0) -> float:
+    """Frequency encoding one token for one speaker: the token id picks a
+    position in the speaker's octave [base*2^spk, base*2^(spk+1)); the *7
+    stride decorrelates adjacent ids so neighboring jamo don't sound
+    almost identical."""
+    return base * (2.0 ** speaker) * 2.0 ** (((token_id * 7) % 24) / 24.0)
+
+
+def melody_wav(tokens, speaker: int, sr: int,
+               tok_seconds: float = TOKEN_SECONDS,
+               base: float = BASE_F0) -> np.ndarray:
+    """Token sequence -> waveform: one enveloped tone segment per token,
+    silence for space/PAD/EOS."""
+    seg = int(round(tok_seconds * sr))
+    t = np.arange(seg) / sr
+    fade = max(1, int(0.005 * sr))  # 5 ms raised-cosine edges, no clicks
+    env = np.ones(seg)
+    ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(fade) / fade)
+    env[:fade] *= ramp
+    env[-fade:] *= ramp[::-1]
+    parts = []
+    for tok in tokens:
+        if tok in (PAD_ID, EOS_ID, _SPACE_ID):
+            parts.append(np.zeros(seg, np.float32))
+            continue
+        f = token_frequency(int(tok), speaker, base)
+        parts.append((0.45 * np.sin(2 * np.pi * f * t)
+                      * env).astype(np.float32))
+    return np.concatenate(parts)
+
 
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("out_dir")
+    parser.add_argument("--style", choices=["melody", "sine"],
+                        default="melody")
     parser.add_argument("--speakers", type=int, default=2)
     parser.add_argument("--utterances", type=int, default=24)
+    parser.add_argument("--heldout", type=int, default=8,
+                        help="melody style: sentences reserved for eval "
+                             "(never trained on); written to heldout.json")
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--sample_rate", type=int, default=24000)
+    parser.add_argument("--store_waveform", action="store_true",
+                        help="run config keeps int16 waveforms in the .npz "
+                             "(enables on_device_features training)")
     args = parser.parse_args()
 
     cfg = Config()
     sr = args.sample_rate
+    cleaners = list(cfg.data.cleaner_names())
+
+    train_texts, heldout = TEXTS, []
+    if args.style == "melody":
+        pool = sentence_pool()
+        if args.heldout:
+            heldout = pool[-args.heldout:]
+            pool = pool[:-args.heldout]
+        train_texts = pool
+
     for spk in range(args.speakers):
         root = os.path.join(args.out_dir, f"spk{spk}")
         os.makedirs(root, exist_ok=True)
         lines = []
         for i in range(args.utterances):
-            dur = 1.0 + 0.08 * (i % 12)
-            t = np.arange(int(dur * sr)) / sr
-            f0 = 140 + 80 * spk + 10 * (i % 8)
-            wav = (0.4 * np.sin(2 * np.pi * f0 * t)
-                   + 0.1 * np.sin(2 * np.pi * 2 * f0 * t)).astype(np.float32)
+            text = train_texts[i % len(train_texts)]
+            if args.style == "melody":
+                tokens = text_to_sequence(text, cleaners)
+                wav = melody_wav(tokens, spk, sr)
+            else:
+                dur = 1.0 + 0.08 * (i % 12)
+                t = np.arange(int(dur * sr)) / sr
+                f0 = 140 + 80 * spk + 10 * (i % 8)
+                wav = (0.4 * np.sin(2 * np.pi * f0 * t)
+                       + 0.1 * np.sin(2 * np.pi * 2 * f0 * t)
+                       ).astype(np.float32)
             path = os.path.join(root, f"utt{i:03d}.wav")
             dsp.save_audio(wav, path, cfg.audio)
-            lines.append(f"{path}|{TEXTS[i % len(TEXTS)]}")
+            lines.append(f"{path}|{text}")
         with open(os.path.join(root, "metadata.csv"), "w") as fh:
             fh.write("\n".join(lines))
-        print(f"[*] {root}: {args.utterances} utterances")
+        print(f"[*] {root}: {args.utterances} utterances ({args.style})")
 
     run_cfg = Config().replace(
-        data=DataConfig(min_tokens=1, min_iters=1, max_iters=100,
+        data=DataConfig(min_tokens=1, min_iters=1, max_iters=150,
                         bucket_size_tokens=32, bucket_size_frames=64,
-                        batches_per_group=4),
+                        batches_per_group=4,
+                        store_waveform=args.store_waveform),
         train=TrainConfig(batch_size=args.batch_size, initial_phase_step=0,
                           checkpoint_interval=40, test_interval=40,
                           summary_interval=10))
@@ -75,6 +174,10 @@ def main() -> None:
     with open(cfg_path, "w") as fh:
         fh.write(run_cfg.to_json())
     print(f"[*] run config -> {cfg_path}")
+    if heldout:
+        with open(os.path.join(args.out_dir, "heldout.json"), "w") as fh:
+            json.dump(heldout, fh, ensure_ascii=False, indent=2)
+        print(f"[*] {len(heldout)} held-out eval sentences -> heldout.json")
 
 
 if __name__ == "__main__":

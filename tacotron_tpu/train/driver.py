@@ -305,30 +305,50 @@ def _zero_batch(config: Config, n: int, tok_len: int,
                                 np.float32), **common)
 
 
+_DUMP_CACHE: dict = {}
+
+
 def _dump_samples(state: TrainState, batch: Batch, config: Config,
                   step: int, out_dir: str, n: int = 1) -> None:
     """Periodic qualitative artifacts (reference ``train.py:246-270``):
-    teacher-forced linear output -> Griffin-Lim wav + alignment png."""
+    teacher-forced linear output -> Griffin-Lim wav + alignment png.
+
+    The forward is jitted (cached per config identity): the test batch has
+    one static shape, so this compiles once — an unjitted apply dispatches
+    the graph op by op, which costs minutes over a tunneled TPU link."""
+    import jax
+
     from ..utils.plot import plot_alignment
     from .state import create_model
     os.makedirs(out_dir, exist_ok=True)
-    model = create_model(config)
     speaker = (batch.speaker_id if config.model.num_speakers > 1 else None)
-    mel_targets = batch.mel_targets
-    if mel_targets is None and batch.waveforms is not None:
-        import jax.numpy as jnp
 
-        from ..dsp.chip import features_from_waveform
-        _, mel_targets = features_from_waveform(
-            jnp.asarray(batch.waveforms[:n], jnp.float32) / 32767.0,
-            config.audio)
-    out = model.apply(
-        {"params": state.params, "batch_stats": state.batch_stats},
-        batch.inputs[:n], batch.input_lengths[:n],
-        speaker_id=None if speaker is None else speaker[:n],
-        mel_targets=mel_targets[:n], train=False)
-    linear = np.asarray(out["linear_outputs"][0])
-    align = np.asarray(out["alignments"][0])
+    key = id(config)
+    if key not in _DUMP_CACHE:
+        model = create_model(config)
+
+        def fwd(params, batch_stats, inputs, input_lengths, speaker_id,
+                mel_targets, waveforms):
+            if mel_targets is None and waveforms is not None:
+                from ..dsp.chip import features_from_waveform
+                import jax.numpy as jnp
+                _, mel_targets = features_from_waveform(
+                    waveforms.astype(jnp.float32) / 32767.0, config.audio)
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                inputs, input_lengths, speaker_id=speaker_id,
+                mel_targets=mel_targets, train=False)
+            return out["linear_outputs"], out["alignments"]
+
+        _DUMP_CACHE[key] = jax.jit(fwd)
+    linear_out, align_out = _DUMP_CACHE[key](
+        state.params, state.batch_stats, batch.inputs[:n],
+        batch.input_lengths[:n],
+        None if speaker is None else speaker[:n],
+        None if batch.mel_targets is None else batch.mel_targets[:n],
+        None if batch.waveforms is None else batch.waveforms[:n])
+    linear = np.asarray(linear_out[0])
+    align = np.asarray(align_out[0])
     wav = dsp_host.inv_spectrogram(linear.T, config.audio)
     dsp_host.save_audio(
         wav, os.path.join(out_dir, f"step{step:09d}.wav"), config.audio)

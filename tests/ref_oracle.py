@@ -18,8 +18,12 @@ It therefore doubles as executable documentation of the reference graph:
      projection -> residual GRU stack -> r-frame projection) ->
     post CBHG -> linear head
 
-Inference semantics only (dropout off, BatchNorm on moving stats) — the
-deterministic path used for checkpoint-parity synthesis.
+``forward(train=False)``: inference semantics (dropout off, BatchNorm on
+moving stats) — the deterministic path used for checkpoint-parity
+synthesis.  ``forward(train=True)``: teacher-forced training semantics —
+BatchNorm on batch statistics with EMA moving-stat updates at every site
+(run with dropout_prob=0 for determinism); catches batch-vs-moving-stats
+wiring swaps that the inference oracle cannot see.
 """
 
 from __future__ import annotations
@@ -104,6 +108,24 @@ def batchnorm_inference(params, stats, x, eps=1e-3):
         * inner_p["scale"] + inner_p["bias"]
 
 
+def batchnorm_train(params, stats, x, momentum=0.99, eps=1e-3):
+    """tf.layers.batch_normalization, TRAINING mode (``training=True`` at
+    the reference call sites keyed on ``is_training``,
+    ``/root/reference/models/modules.py:37-46``): normalize by THIS batch's
+    per-channel statistics over (batch, time), biased variance, and
+    EMA-update the moving stats (momentum 0.99).  Returns (y, new_stats).
+    """
+    p = params["BatchNorm_0"]
+    s = stats["BatchNorm_0"]
+    mean = x.mean(axis=(0, 1)).astype(F)
+    var = x.var(axis=(0, 1)).astype(F)  # biased, like tf/flax
+    y = (x - mean) / np.sqrt(var + eps) * p["scale"] + p["bias"]
+    new = {"BatchNorm_0": {
+        "mean": (momentum * s["mean"] + (1.0 - momentum) * mean).astype(F),
+        "var": (momentum * s["var"] + (1.0 - momentum) * var).astype(F)}}
+    return y.astype(F), new
+
+
 def max_pool_same(x, width):
     pad_left = (width - 1) // 2
     xp = np.pad(x, ((0, 0), (pad_left, width - 1 - pad_left), (0, 0)),
@@ -128,11 +150,24 @@ def highway(p, x):
 
 
 def cbhg(params, stats, x, lengths, before_highway=None,
-         rnn_init_state=None):
+         rnn_init_state=None, train=False):
     """Reference ``models/modules.py:27-96``.  The conv bank runs as K
     separate SAME convs (the reference's formulation); the flax side fuses
     them into one wide conv — parameter names are shared (kernel_1..K, one
-    bias/BN over the concatenated channels)."""
+    bias/BN over the concatenated channels).
+
+    ``train=True`` switches every BatchNorm site to batch statistics with
+    EMA updates (the reference's ``is_training`` keying) and returns
+    ``(output, new_stats)`` instead of just the output."""
+    new_stats = {}
+
+    def bn(name, val):
+        if train:
+            y, ns = batchnorm_train(params[name], stats[name], val)
+            new_stats[name] = ns
+            return y
+        return batchnorm_inference(params[name], stats[name], val)
+
     bank = params["conv_bank"]
     K = max(int(name.split("_")[1]) for name in bank if name != "bias")
     channels = bank["kernel_1"].shape[-1]
@@ -141,8 +176,7 @@ def cbhg(params, stats, x, lengths, before_highway=None,
         bias_k = bank["bias"][(k - 1) * channels: k * channels]
         branches.append(conv1d_same(x, bank[f"kernel_{k}"], bias_k))
     conv = np.concatenate(branches, axis=-1)
-    conv = batchnorm_inference(params["bank_bn"], stats["bank_bn"],
-                               np.maximum(0.0, conv))
+    conv = bn("bank_bn", np.maximum(0.0, conv))
 
     pooled = max_pool_same(conv, 2)
 
@@ -153,8 +187,7 @@ def cbhg(params, stats, x, lengths, before_highway=None,
         proj = conv1d_same(proj, p["kernel"], p["bias"])
         if f"proj_{idx + 1}" in params:  # ReLU on all but the last
             proj = np.maximum(0.0, proj)
-        proj = batchnorm_inference(params[f"proj_{idx}_bn"],
-                                   stats[f"proj_{idx}_bn"], proj)
+        proj = bn(f"proj_{idx}_bn", proj)
         idx += 1
 
     hw = proj + x
@@ -166,7 +199,8 @@ def cbhg(params, stats, x, lengths, before_highway=None,
     while f"highway_{d}" in params:
         hw = highway(params[f"highway_{d}"], hw)
         d += 1
-    return bigru(params["bigru"], hw.astype(F), lengths, rnn_init_state)
+    out = bigru(params["bigru"], hw.astype(F), lengths, rnn_init_state)
+    return (out, new_stats) if train else out
 
 
 # -------------------------------------------------------------- attention
@@ -248,9 +282,22 @@ def speaker_conditioning(params, cfg, speaker_id):
 
 
 def forward(variables, cfg, inputs, input_lengths, speaker_id=None,
-            mel_targets=None, max_steps=None):
-    """Full forward, inference semantics.  Mirrors
-    ``Tacotron.__call__`` outputs: dict with mel/linear/alignments."""
+            mel_targets=None, max_steps=None, train=False):
+    """Full forward.  Mirrors ``Tacotron.__call__`` outputs: dict with
+    mel/linear/alignments.
+
+    ``train=False``: inference semantics (dropout off, BatchNorm on moving
+    stats) — the deterministic checkpoint-parity path.  ``train=True``:
+    teacher-forced TRAINING semantics — every BatchNorm site normalizes by
+    batch statistics and EMA-updates its moving stats (the reference's
+    ``is_training`` keying, ``/root/reference/models/tacotron.py:26``);
+    the result dict gains ``batch_stats`` (the updated tree).  Dropout is
+    structural only: run with ``cfg.dropout_prob == 0`` for determinism —
+    the point of the train path is catching batch-vs-moving-stats wiring
+    swaps, which dropout cannot mask."""
+    if train:
+        assert cfg.dropout_prob == 0.0, \
+            "train-mode oracle is deterministic only with dropout_prob=0"
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     N = inputs.shape[0]
@@ -262,10 +309,11 @@ def forward(variables, cfg, inputs, input_lengths, speaker_id=None,
     # ---- encoder (reference tacotron.py:34-39, 100-112)
     embedded = params["char_embedding"]["embedding"][inputs].astype(F)
     pre = prenet(params["encoder_prenet"], embedded)
-    memory = cbhg(params["encoder_cbhg"], stats.get("encoder_cbhg", {}),
-                  pre, np.asarray(input_lengths),
-                  before_highway=cond["before_highway"],
-                  rnn_init_state=cond["encoder_rnn_init"])
+    enc_out = cbhg(params["encoder_cbhg"], stats.get("encoder_cbhg", {}),
+                   pre, np.asarray(input_lengths),
+                   before_highway=cond["before_highway"],
+                   rnn_init_state=cond["encoder_rnn_init"], train=train)
+    memory, enc_new_stats = enc_out if train else (enc_out, {})
 
     # ---- decoder (reference tacotron.py:154-210 + rnn_wrappers.py)
     keys = dense_nobias(params["attention_memory_layer"], memory)
@@ -328,8 +376,9 @@ def forward(variables, cfg, inputs, input_lengths, speaker_id=None,
         N, num_steps * r, M).astype(F)
 
     # ---- post-net (reference tacotron.py:219-235)
-    post = cbhg(params["post_cbhg"], stats.get("post_cbhg", {}),
-                mel_outputs, None)
+    post_out = cbhg(params["post_cbhg"], stats.get("post_cbhg", {}),
+                    mel_outputs, None, train=train)
+    post, post_new_stats = post_out if train else (post_out, {})
     if cfg.model_type == "simple" and cond["embed"] is not None:
         tiled = np.broadcast_to(
             cond["embed"][:, None, :],
@@ -337,8 +386,12 @@ def forward(variables, cfg, inputs, input_lengths, speaker_id=None,
         post = np.concatenate([tiled, post], axis=-1)
     linear_outputs = dense(params["linear_projection"], post).astype(F)
 
-    return {
+    out = {
         "mel_outputs": mel_outputs,
         "linear_outputs": linear_outputs,
         "alignments": np.stack(align_hist, axis=2).astype(F),  # [N,T_in,T_dec]
     }
+    if train:
+        out["batch_stats"] = {"encoder_cbhg": enc_new_stats,
+                              "post_cbhg": post_new_stats}
+    return out

@@ -288,8 +288,14 @@ def test_train_driver_writes_metrics_and_provenance(corpus, tmp_path):
     from tacotron_tpu.parallel import make_mesh
     plan = make_mesh(devices=jax.devices()[:2])  # batch 2 over 2 devices
     run_dir = str(tmp_path / "run")
-    state = train(run_dir, corpus, cfg, num_steps=3, log_every=1, plan=plan)
+    state = train(run_dir, corpus, cfg, num_steps=3, log_every=1, plan=plan,
+                  test_dump_dir=str(tmp_path / "samples"))
     assert int(state.step) == 3
+
+    # qualitative dumps at the test interval (reference train.py:246-270):
+    # teacher-forced GL wav + alignment png, via the jitted dump forward
+    assert os.path.exists(str(tmp_path / "samples" / "step000000002.wav"))
+    assert os.path.exists(str(tmp_path / "samples" / "step000000002.png"))
 
     trains = read_metrics(os.path.join(run_dir, "metrics.jsonl"),
                           kind="train")

@@ -129,3 +129,129 @@ def test_forward_matches_numpy_oracle(shape, model_type, emb, seed):
                          ["bah", "bah_norm", "luong", "luong_scaled"])
 def test_attention_variants_match_numpy_oracle(attention_type):
     _run_case(SHAPE_A, "single", 16, attention_type=attention_type, seed=7)
+
+
+@pytest.mark.parametrize("model_type,emb,seed", [
+    ("single", 16, 111), ("deepvoice", 16, 222), ("simple", 16, 333)])
+def test_train_mode_matches_numpy_oracle(model_type, emb, seed):
+    """Teacher-forced TRAINING semantics (round-3 verdict ask #4): every
+    BatchNorm site must normalize by batch statistics and EMA-update its
+    moving stats.  Run with dropout_prob=0 (deterministic) so a
+    moving-vs-batch-stats wiring swap is the only thing that can differ —
+    the inference oracle cannot see it.  Matches the reference's
+    ``is_training`` keying (/root/reference/models/tacotron.py:26,
+    modules.py:37-46)."""
+    n_spk = 1 if model_type == "single" else 3
+    cfg = ModelConfig(model_type=model_type, num_speakers=n_spk,
+                      speaker_embedding_size=emb, dropout_prob=0.0,
+                      **SHAPE_A)
+    model = Tacotron(cfg)
+    rng = np.random.default_rng(seed)
+    N, T_in = 3, 12
+    steps = 4
+    T_out = steps * cfg.reduction_factor
+    inputs = jnp.asarray(rng.integers(0, 80, (N, T_in)), jnp.int32)
+    lengths = jnp.asarray([T_in, T_in - 3, T_in - 5], jnp.int32)
+    mels = jnp.asarray(
+        rng.uniform(0, 1, (N, T_out, cfg.num_mels)).astype(np.float32))
+    spk = (None if model_type == "single"
+           else jnp.asarray([0, 2, 1], jnp.int32))
+
+    variables = _random_variables(model, cfg, inputs, lengths, mels, spk,
+                                  seed)
+    np_vars = _to_numpy(variables)
+
+    got, mutated = model.apply(
+        variables, inputs, lengths, speaker_id=spk, mel_targets=mels,
+        train=True, rngs={"dropout": RNG}, mutable=["batch_stats"])
+    want = ref_oracle.forward(
+        np_vars, cfg, np.asarray(inputs), np.asarray(lengths),
+        speaker_id=None if spk is None else np.asarray(spk),
+        mel_targets=np.asarray(mels), train=True)
+
+    for key in ("mel_outputs", "linear_outputs", "alignments"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), want[key], rtol=3e-4, atol=3e-4,
+            err_msg=f"{model_type} train-mode {key}")
+
+    # the EMA-updated moving stats must match site by site
+    got_stats = jax.tree.map(np.asarray, mutated["batch_stats"])
+    flat_got = jax.tree_util.tree_flatten_with_path(got_stats)[0]
+    flat_want = jax.tree_util.tree_flatten_with_path(
+        want["batch_stats"])[0]
+    assert len(flat_got) == len(flat_want) and len(flat_got) > 0
+    want_by_path = {jax.tree_util.keystr(p): v for p, v in flat_want}
+    for path, val in flat_got:
+        key = jax.tree_util.keystr(path)
+        assert key in want_by_path, f"missing oracle stat {key}"
+        np.testing.assert_allclose(
+            val, want_by_path[key], rtol=3e-4, atol=3e-4,
+            err_msg=f"{model_type} moving stat {key}")
+
+    # train-mode output must actually DIFFER from inference-mode output on
+    # randomized moving stats — otherwise this test proves nothing
+    got_inf = model.apply(variables, inputs, lengths, speaker_id=spk,
+                          mel_targets=mels, train=False)
+    assert not np.allclose(np.asarray(got["linear_outputs"]),
+                           np.asarray(got_inf["linear_outputs"]),
+                           atol=1e-3)
+
+
+def test_train_step_loss_matches_oracle():
+    """The real jitted train step's reported loss equals the loss computed
+    on the numpy oracle's train-mode outputs — catching a train/eval flag
+    swap or a loss wired to the wrong tensors inside the step."""
+    import dataclasses
+
+    from tacotron_tpu.config import Config
+    from tacotron_tpu.train.losses import tacotron_loss
+    from tacotron_tpu.train.optim import make_optimizer
+    from tacotron_tpu.train.state import TrainState, create_model
+    from tacotron_tpu.train.step import Batch, make_train_step
+
+    config = Config().replace(
+        model=dataclasses.replace(
+            ModelConfig(**SHAPE_A), dropout_prob=0.0),
+        train=dataclasses.replace(Config().train, batch_size=3))
+    model = create_model(config)
+    cfg = config.model
+    rng = np.random.default_rng(42)
+    N, T_in, steps = 3, 12, 4
+    T_out = steps * cfg.reduction_factor
+    inputs = jnp.asarray(rng.integers(0, 80, (N, T_in)), jnp.int32)
+    lengths = jnp.asarray([T_in, T_in - 2, T_in - 4], jnp.int32)
+    mels = jnp.asarray(
+        rng.uniform(0, 1, (N, T_out, cfg.num_mels)).astype(np.float32))
+    linears = jnp.asarray(
+        rng.uniform(0, 1, (N, T_out, cfg.num_freq)).astype(np.float32))
+    coeff = jnp.asarray([1.0, 0.5, 1.0], jnp.float32)
+    tlen = jnp.asarray([T_out, T_out - 2, T_out - 4], jnp.int32)
+
+    variables = _random_variables(model, cfg, inputs, lengths, mels, None,
+                                  42)
+    # snapshot BEFORE the step: step_fn donates the state, deleting the
+    # original param buffers
+    np_vars = _to_numpy(variables)
+    optimizer = make_optimizer(config.train)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=optimizer.init(variables["params"]))
+
+    batch = Batch(inputs=inputs, input_lengths=lengths, loss_coeff=coeff,
+                  mel_targets=mels, linear_targets=linears,
+                  speaker_id=jnp.zeros((N,), jnp.int32),
+                  target_lengths=tlen)
+    step_fn = make_train_step(config)
+    _, metrics = step_fn(state, batch, jax.random.PRNGKey(5))
+
+    want = ref_oracle.forward(
+        np_vars, cfg, np.asarray(inputs), np.asarray(lengths),
+        mel_targets=np.asarray(mels), train=True)
+    oracle_losses = tacotron_loss(
+        jnp.asarray(want["mel_outputs"]), jnp.asarray(want["linear_outputs"]),
+        mels, linears, coeff, config.train, config.audio,
+        target_lengths=tlen, reduction_factor=cfg.reduction_factor)
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(oracle_losses["loss"]),
+                               rtol=2e-4, atol=2e-5)
