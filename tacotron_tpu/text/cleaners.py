@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import re
 import unicodedata
+import warnings
 
 from .english_numbers import normalize_numbers
 from .korean import tokenize as _korean_tokenize
@@ -42,9 +43,67 @@ def korean_cleaners(text: str):
     return _korean_tokenize(text)
 
 
-def convert_to_ascii(text: str) -> str:
-    decomposed = unicodedata.normalize("NFKD", text)
-    return decomposed.encode("ascii", "ignore").decode("ascii")
+# Script transliteration tables for the common non-Latin scripts.  The
+# reference intends Unidecode here (``/root/reference/text/cleaners.py:3-9``,
+# unavailable offline); NFKD alone strips Latin diacritics but silently
+# DELETES whole non-Latin words.  These tables cover Cyrillic and Greek with
+# standard readable romanizations.  Documented divergences from Unidecode's
+# exact output (goldens in tests/test_text.py): we use 'yo/yu/ya' for ё/ю/я
+# where Unidecode uses 'io/iu/ia', 'ch' for χ where Unidecode uses 'kh',
+# 'ph' for φ where Unidecode uses 'f'.  Scripts not covered (CJK, Arabic,
+# ...) are dropped with an explicit warning instead of silently — the
+# vocabulary cannot encode them either way.
+_CYRILLIC = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e", "ё": "yo",
+    "ж": "zh", "з": "z", "и": "i", "й": "i", "к": "k", "л": "l", "м": "m",
+    "н": "n", "о": "o", "п": "p", "р": "r", "с": "s", "т": "t", "у": "u",
+    "ф": "f", "х": "kh", "ц": "ts", "ч": "ch", "ш": "sh", "щ": "shch",
+    "ъ": "", "ы": "y", "ь": "", "э": "e", "ю": "yu", "я": "ya",
+    # Ukrainian/Belarusian extras
+    "є": "ye", "і": "i", "ї": "yi", "ґ": "g", "ў": "u",
+}
+_GREEK = {
+    "α": "a", "β": "b", "γ": "g", "δ": "d", "ε": "e", "ζ": "z", "η": "e",
+    "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m", "ν": "n", "ξ": "x",
+    "ο": "o", "π": "p", "ρ": "r", "σ": "s", "ς": "s", "τ": "t", "υ": "y",
+    "φ": "ph", "χ": "ch", "ψ": "ps", "ω": "o",
+}
+# Latin letters NFKD cannot decompose (no compatibility mapping)
+_LATIN_EXTRA = {
+    "ß": "ss", "æ": "ae", "œ": "oe", "ø": "o", "đ": "d", "ð": "d",
+    "þ": "th", "ł": "l", "ħ": "h", "ŋ": "ng", "ı": "i", "ĸ": "k",
+}
+
+_TRANSLIT = {**_CYRILLIC, **_GREEK, **_LATIN_EXTRA}
+_TRANSLIT.update({k.upper(): v.capitalize() for k, v in _TRANSLIT.items()
+                  if k.upper() != k})
+
+
+def convert_to_ascii(text: str, warn_dropped: bool = True) -> str:
+    """ASCII transliteration (the reference's Unidecode intent).
+
+    Pipeline: transliteration table on the precomposed text (so ``ё``/``й``
+    map as letters, not base+mark) -> NFKD decomposition (splits Latin
+    diacritics and Greek tonos into base + combining marks) -> table again
+    (for bases exposed by the decomposition) -> ASCII encode dropping what
+    remains (combining marks, uncovered scripts).  Characters from
+    uncovered scripts are reported in ONE warning per call rather than
+    vanishing silently — the documented boundary where this implementation
+    is narrower than Unidecode."""
+    pre = "".join(_TRANSLIT.get(ch, ch) for ch in text)
+    decomposed = unicodedata.normalize("NFKD", pre)
+    mapped = "".join(_TRANSLIT.get(ch, ch) for ch in decomposed)
+    out = mapped.encode("ascii", "ignore").decode("ascii")
+    if warn_dropped:
+        dropped = {ch for ch in mapped if ord(ch) > 127
+                   and not unicodedata.combining(ch)}
+        if dropped:
+            warnings.warn(
+                f"convert_to_ascii dropped characters with no "
+                f"transliteration: {''.join(sorted(dropped))!r} (script "
+                f"not covered; the reference's Unidecode would "
+                f"transliterate some of these)", stacklevel=2)
+    return out
 
 
 def lowercase(text: str) -> str:
