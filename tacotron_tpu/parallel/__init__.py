@@ -13,11 +13,11 @@ there is no hand-written collective here, by design.
 from .distributed import initialize as distributed_initialize
 from .distributed import runtime_info
 from .mesh import (MeshPlan, batch_sharding, make_mesh,
-                   replicated_sharding, shard_batch)
+                   replicated_sharding, shard_batch, shard_params)
 from .prefetch import DevicePrefetcher
 
 __all__ = [
     "DevicePrefetcher", "MeshPlan", "batch_sharding",
     "distributed_initialize", "make_mesh", "replicated_sharding",
-    "runtime_info", "shard_batch",
+    "runtime_info", "shard_batch", "shard_params",
 ]

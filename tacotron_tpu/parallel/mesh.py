@@ -72,6 +72,36 @@ def replicated_sharding(plan: MeshPlan) -> NamedSharding:
     return plan.replicated()
 
 
+def shard_params(plan: MeshPlan, params: Any) -> Any:
+    """Place a parameter pytree onto the mesh with the ``model``-axis rule.
+
+    Tacotron's one genuinely wide projection is the 1025-bin linear head
+    (``linear_projection``); with ``model_parallelism > 1`` its kernel is
+    tensor-sharded column-wise (``P(None, model)``) and its bias over
+    ``P(model)`` — XLA partitions the matmul and all-gathers the output.
+    Everything else (all <=256-wide) replicates.  With ``model == 1`` this
+    is plain replication, the default at Tacotron scale (~10 M params fit
+    any chip); the rule exists — and is equality-tested in
+    ``tests/test_model.py::test_model_axis_shards_linear_head`` — so
+    narrow-HBM parts can shard the head without touching call sites.
+    """
+    repl = plan.replicated()
+    if plan.mesh.shape[plan.model_axis] == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, repl), params)
+
+    def place(path, leaf):
+        keys = {getattr(p, "key", "") for p in path}
+        if "linear_projection" in keys and getattr(leaf, "ndim", 0) == 2:
+            sh = NamedSharding(plan.mesh, P(None, plan.model_axis))
+        elif "linear_projection" in keys and getattr(leaf, "ndim", 0) == 1:
+            sh = NamedSharding(plan.mesh, P(plan.model_axis))
+        else:
+            sh = repl
+        return jax.device_put(leaf, sh)
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
 def shard_batch(plan: MeshPlan, batch: Any) -> Any:
     """Place a host-resident batch pytree onto the mesh, sharded on the
     leading axis (the DataFeeder's successor to ``sess.run(enqueue)``).
