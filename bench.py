@@ -399,6 +399,43 @@ def main() -> None:
     fresh_spec_ms = fresh_spec_time / FRESH * 1e3
     fresh_wav_ms = fresh_wav_time / FRESH * 1e3
 
+    # ---- the driver's DEFAULT loop since round 4: prefetch-to-device
+    # (parallel/prefetch.py, depth 2) overlaps batch k+1's transfer with
+    # step k's compute, so the fresh-batch step costs max(transfer,
+    # compute) instead of their sum.  THIS is what `python train.py`
+    # actually achieves per step.
+    from tacotron_tpu.parallel import DevicePrefetcher
+
+    def fresh_pipelined(batches, step_fn, box):
+        def run():
+            idx = [0]
+
+            def source():
+                b = batches[idx[0] % 4]
+                idx[0] += 1
+                return b
+
+            pf = DevicePrefetcher(
+                source, lambda b: jax.tree.map(jnp.asarray, b), depth=2)
+            try:
+                s = box[0]
+                m = None
+                for _ in range(FRESH):
+                    s, m = step_fn(s, pf.get(), drng)
+                box[0] = s
+                float(m["param_norm"])
+            finally:
+                pf.stop()
+        return run
+
+    run_spec_pf = fresh_pipelined(host_spec_batches, tstep, state_box)
+    run_wav_pf = fresh_pipelined(host_wav_batches, tstep_wav, wav_box)
+    pf_spec_time, _, _ = _timed(run_spec_pf, reps=3, warmup=1)
+    pf_wav_time, _, _ = _timed(run_wav_pf, reps=3, warmup=1)
+    pf_spec_ms = pf_spec_time / FRESH * 1e3
+    pf_wav_ms = pf_wav_time / FRESH * 1e3
+    live_frames_per_s = NB * T_OUT / (pf_wav_ms / 1e3)
+
     # ---- roofline accounting for the Griffin-Lim spectral step (the
     # dominant synthesis cost): the default "matmul_half" engine's DIF
     # split-bin matmuls (dsp/chip.py::_half_dft_matrices) per iteration
@@ -531,11 +568,22 @@ def main() -> None:
             "training_fresh_batch_bytes": [int(spec_bytes), int(wav_bytes)],
             "training_fresh_batch_note":
                 "per-step time when every step ships a FRESH batch over "
-                "the host link, as train/driver.py really does "
-                "(resident-batch figures above hide it): precomputed f32 "
-                "spectrogram targets vs int16 waveforms + on-device "
-                "feature extraction (TrainConfig.on_device_features, "
-                "7.4x fewer bytes)",
+                "the host link SYNCHRONOUSLY (prefetch_depth=0): "
+                "precomputed f32 spectrogram targets vs int16 waveforms + "
+                "on-device feature extraction "
+                "(TrainConfig.on_device_features, 7.4x fewer bytes)",
+            "training_live_step_ms": round(pf_wav_ms, 2),
+            "training_live_frames_per_s_per_chip": round(live_frames_per_s,
+                                                         1),
+            "training_live_spectrogram_step_ms": round(pf_spec_ms, 2),
+            "training_live_note":
+                "WHAT `python train.py` ACHIEVES per step: fresh batch "
+                "every step through the driver's default prefetch-to-"
+                "device pipeline (depth 2, H2D overlapped with compute) "
+                "with the waveform wire; ~= max(transfer, compute) vs the "
+                "synchronous sum above. The resident-batch "
+                "training_frames_per_s_per_chip is the compute-only "
+                "ceiling, not the live loop.",
             "training_mfu_pct": round(train_mfu_pct, 2),
             "training_bf16_mfu_pct": round(bf16_mfu_pct, 2),
             "training_total_gflops_per_step": round(
