@@ -72,6 +72,48 @@ def dominant_hz(wav: np.ndarray, sr: int) -> float:
     return float(freqs[mag.argmax()])
 
 
+def token_tone_accuracy(wav: np.ndarray, text: str, speaker: int,
+                        sr: int, tol: float = 0.015) -> dict:
+    """The conclusive alignment check on HELD-OUT text: the melody corpus
+    maps token k to a tone at a known frequency in a known 50 ms slot, so
+    if the synthesized wav reproduces each token's frequency in each
+    token's slot, the decoder attended the right token at the right time —
+    regardless of how soft the attention matrix is.  Measures the dominant
+    frequency of the central 30 ms of every voiced token slot
+    (zero-padded FFT, ~1.5 Hz resolution) against
+    ``make_synthetic_corpus.token_frequency`` with ``tol`` relative
+    tolerance (adjacent table tones are 2.9% apart; 1.5% = half-step)."""
+    from tacotron_tpu.text import text_to_sequence
+    from tacotron_tpu.text.symbols import EOS_ID, PAD_ID, char_to_id
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from make_synthetic_corpus import TOKEN_SECONDS, token_frequency
+
+    tokens = text_to_sequence(text, ["korean_cleaners"])
+    seg = int(round(TOKEN_SECONDS * sr))
+    space = char_to_id[" "]
+    pad = int(0.01 * sr)  # skip the 5 ms fades + GL boundary smear
+    hits, total = 0, 0
+    details = []
+    for k, tok in enumerate(tokens):
+        if tok in (PAD_ID, EOS_ID, space):
+            continue
+        lo, hi = k * seg + pad, (k + 1) * seg - pad
+        if hi > len(wav):
+            break
+        chunk = np.asarray(wav[lo:hi], np.float64)
+        chunk = chunk * np.hanning(len(chunk))
+        mag = np.abs(np.fft.rfft(chunk, n=1 << 15))
+        freqs = np.fft.rfftfreq(1 << 15, 1.0 / sr)
+        got = float(freqs[mag.argmax()])
+        want = token_frequency(int(tok), speaker)
+        ok = abs(got - want) / want <= tol
+        hits += ok
+        total += 1
+        details.append((int(tok), round(want, 1), round(got, 1), bool(ok)))
+    return {"accuracy": hits / max(total, 1), "n_segments": total,
+            "details": details}
+
+
 def plot_loss_curve(metrics_path: str, out_png: str) -> list:
     import matplotlib
     matplotlib.use("Agg")
@@ -104,6 +146,11 @@ def main() -> None:
     parser.add_argument("--artifacts", default=None,
                         help="directory for loss/alignment PNGs + report")
     parser.add_argument("--dump_every", type=int, default=500)
+    parser.add_argument("--attention", default="bah_mon",
+                        help="attention_type for the trained model "
+                             "(bah_mon = reference default)")
+    parser.add_argument("--skip_train", action="store_true",
+                        help="reuse an existing run dir; evaluation only")
     args = parser.parse_args()
 
     import tacotron_tpu
@@ -122,19 +169,25 @@ def main() -> None:
     cfg = Config.tpu_recommended(base, batch_size=args.batch_size)
     cfg = cfg.replace(
         model=dataclasses.replace(cfg.model, model_type="deepvoice",
-                                  num_speakers=len(data_dirs)),
+                                  num_speakers=len(data_dirs),
+                                  attention_type=args.attention),
         train=dataclasses.replace(cfg.train,
                                   checkpoint_interval=1000,
                                   test_interval=args.dump_every))
 
     run_dir = os.path.join(args.work, "run")
     t0 = time.time()
-    state = train(run_dir, data_dirs, cfg, num_steps=args.steps,
-                  log_every=25, prewarm=True,
-                  test_dump_dir=os.path.join(run_dir, "samples"))
-    train_s = time.time() - t0
-    print(f"[*] trained {int(state.step)} steps in {train_s:.0f} s "
-          f"({int(state.step) / max(train_s, 1e-9):.1f} steps/s)")
+    steps_done = args.steps
+    if args.skip_train:
+        train_s = 0.0
+    else:
+        state = train(run_dir, data_dirs, cfg, num_steps=args.steps,
+                      log_every=25, prewarm=True,
+                      test_dump_dir=os.path.join(run_dir, "samples"))
+        train_s = time.time() - t0
+        steps_done = int(state.step)
+        print(f"[*] trained {steps_done} steps in {train_s:.0f} s "
+              f"({steps_done / max(train_s, 1e-9):.1f} steps/s)")
 
     # -------------------------------------------------- held-out evaluation
     from tacotron_tpu.synth import Synthesizer
@@ -147,15 +200,26 @@ def main() -> None:
     # dominant-frequency check: re-synthesize per speaker and locate each
     # wav's spectral peak inside the speaker's octave [140*2^s, 280*2^s)
     f0_results = {}
+    tone_results = {}
     for spk in range(len(data_dirs)):
+        # librosa_trim off: token-slot timing must stay sample-aligned
         res = synth.synthesize(texts=heldout,
-                               speaker_ids=[spk] * len(heldout))
+                               speaker_ids=[spk] * len(heldout),
+                               librosa_trim=False)
         lo, hi = 140.0 * 2 ** spk, 140.0 * 2 ** (spk + 1)
         peaks = [dominant_hz(w, sr) for w in res["wavs"]]
         in_band = [lo * 0.9 <= p < hi * 1.1 for p in peaks]
         f0_results[str(spk)] = {
             "band_hz": [lo, hi], "peaks_hz": peaks,
             "in_band_rate": float(np.mean(in_band)),
+        }
+        accs = [token_tone_accuracy(w, t, spk, sr)
+                for w, t in zip(res["wavs"], heldout)]
+        tone_results[str(spk)] = {
+            "mean_accuracy": float(np.mean([a["accuracy"] for a in accs])),
+            "min_accuracy": float(np.min([a["accuracy"] for a in accs])),
+            "n_segments": int(sum(a["n_segments"] for a in accs)),
+            "per_utterance": [round(a["accuracy"], 3) for a in accs],
         }
 
     # ------------------------------------------------------------ artifacts
@@ -172,7 +236,8 @@ def main() -> None:
             shutil.copyfile(pngs[i], dst)
             picked.append(os.path.basename(dst))
     payload = {
-        "steps": int(state.step), "train_seconds": train_s,
+        "steps": steps_done, "train_seconds": train_s,
+        "attention_type": args.attention,
         "config": {"batch_size": cfg.train.batch_size,
                    "compute_dtype": cfg.model.compute_dtype,
                    "on_device_features": cfg.train.on_device_features,
@@ -181,6 +246,7 @@ def main() -> None:
         "heldout_texts": heldout,
         "speaker_eval": report,
         "dominant_f0": f0_results,
+        "token_tone_accuracy": tone_results,
         "device": str(jax.devices()[0]),
     }
     with open(os.path.join(art, "convergence_report.json"), "w") as fh:
@@ -197,8 +263,8 @@ def main() -> None:
         f"B={cfg.train.batch_size}), default Noam schedule; "
         f"device: {jax.devices()[0]}.",
         "",
-        f"Trained **{int(state.step)} steps in {train_s:.0f} s** "
-        f"({int(state.step)/max(train_s,1e-9):.1f} steps/s wall, "
+        f"Trained **{steps_done} steps in {train_s:.0f} s** "
+        f"({steps_done/max(train_s,1e-9):.1f} steps/s wall, "
         f"prefetch-to-device pipeline).",
         "",
         "## Held-out attention health (greedy decode, unseen sentences)",
@@ -227,6 +293,23 @@ def main() -> None:
         ex = ", ".join(f"{p:.0f}" for p in rec["peaks_hz"][:4])
         lines.append(f"| {spk} | [{lo:.0f}, {hi:.0f}) | "
                      f"{rec['in_band_rate']:.0%} | {ex} |")
+    lines += [
+        "",
+        "## Per-token tone accuracy (the conclusive alignment proof)",
+        "",
+        "The melody corpus maps token k to a known frequency in a known "
+        "50 ms slot, so reproducing each token's tone in each token's slot "
+        "on UNSEEN sentences requires attending the right token at the "
+        "right time — this measures alignment functionally, independent of "
+        "how soft the attention weights are (bah_mon's soft-monotonic "
+        "bump is wide by construction; its argmax path is the diagonal).",
+        "",
+        "| speaker | mean accuracy | min per-utterance | segments |",
+        "|---|---|---|---|",
+    ]
+    for spk, rec in tone_results.items():
+        lines.append(f"| {spk} | {rec['mean_accuracy']:.1%} | "
+                     f"{rec['min_accuracy']:.1%} | {rec['n_segments']} |")
     first = curve[0] if curve else (0, 0.0)
     last = curve[-1] if curve else (0, 0.0)
     lines += [
@@ -254,7 +337,9 @@ def main() -> None:
     print(json.dumps({"worst_attention_ok":
                       cross.get("worst_attention_ok_rate", 0.0),
                       "f0_in_band": {k: v["in_band_rate"]
-                                     for k, v in f0_results.items()}}))
+                                     for k, v in f0_results.items()},
+                      "tone_accuracy": {k: round(v["mean_accuracy"], 3)
+                                        for k, v in tone_results.items()}}))
 
 
 if __name__ == "__main__":

@@ -16,7 +16,7 @@ PORT="${E2E_PORT:-5571}"
 STEPS="${E2E_STEPS:-90}"
 
 echo "== [1/5] synthetic 2-speaker corpus =="
-python scripts/make_synthetic_corpus.py "$WORK/corpus"
+python scripts/make_synthetic_corpus.py "$WORK/corpus" --store_waveform
 
 echo "== [2/5] offline npz builder =="
 for spk in 0 1; do
@@ -24,10 +24,11 @@ for spk in 0 1; do
     --config "$WORK/corpus/config.json" --num_workers 2
 done
 
-echo "== [3/5] train.py ($STEPS steps, deepvoice 2-speaker) =="
+echo "== [3/5] train.py ($STEPS steps, deepvoice 2-speaker, TPU preset) =="
 python train.py \
   --data_paths="$WORK/corpus/spk0/data,$WORK/corpus/spk1/data" \
   --config="$WORK/corpus/config.json" --model_type=deepvoice \
+  --preset=tpu --batch_size=8 \
   --num_steps="$STEPS" --log_dir="$WORK/logs" --prewarm
 RUN_DIR=$(ls -dt "$WORK"/logs/*/ | head -1)
 echo "run dir: $RUN_DIR"
