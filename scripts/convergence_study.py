@@ -73,25 +73,32 @@ def dominant_hz(wav: np.ndarray, sr: int) -> float:
 
 
 def token_tone_accuracy(wav: np.ndarray, text: str, speaker: int,
-                        sr: int, tol: float = 0.015) -> dict:
+                        sr: int) -> dict:
     """The conclusive alignment check on HELD-OUT text: the melody corpus
     maps token k to a tone at a known frequency in a known 50 ms slot, so
     if the synthesized wav reproduces each token's frequency in each
     token's slot, the decoder attended the right token at the right time —
     regardless of how soft the attention matrix is.  Measures the dominant
-    frequency of the central 30 ms of every voiced token slot
-    (zero-padded FFT, ~1.5 Hz resolution) against
-    ``make_synthetic_corpus.token_frequency`` with ``tol`` relative
-    tolerance (adjacent table tones are 2.9% apart; 1.5% = half-step)."""
+    frequency of the central 30 ms of every voiced token slot (zero-padded
+    FFT) and CLASSIFIES it against the speaker's 24-tone table (nearest
+    tone in log-frequency): correct iff the nearest tone is the expected
+    token's.  Tones are FFT-bin-aligned 2 bins apart, so the decision is
+    robust to the model's intrinsic ±1-bin spectral quantization."""
     from tacotron_tpu.text import text_to_sequence
     from tacotron_tpu.text.symbols import EOS_ID, PAD_ID, char_to_id
     sys.path.insert(0, os.path.join(REPO, "scripts"))
-    from make_synthetic_corpus import TOKEN_SECONDS, token_frequency
+    from make_synthetic_corpus import (TOKEN_SECONDS, TONES_PER_SPEAKER,
+                                       _BAND_ORIGIN_BIN, _BAND_STRIDE_BIN,
+                                       _TONE_STRIDE_BIN, token_frequency)
 
     tokens = text_to_sequence(text, ["korean_cleaners"])
     seg = int(round(TOKEN_SECONDS * sr))
     space = char_to_id[" "]
     pad = int(0.01 * sr)  # skip the 5 ms fades + GL boundary smear
+    # the speaker's full tone table, for nearest-tone classification
+    k0 = _BAND_ORIGIN_BIN + _BAND_STRIDE_BIN * speaker
+    tones = np.asarray([sr / 2048.0 * (k0 + _TONE_STRIDE_BIN * p)
+                        for p in range(TONES_PER_SPEAKER)])
     hits, total = 0, 0
     details = []
     for k, tok in enumerate(tokens):
@@ -105,8 +112,10 @@ def token_tone_accuracy(wav: np.ndarray, text: str, speaker: int,
         mag = np.abs(np.fft.rfft(chunk, n=1 << 15))
         freqs = np.fft.rfftfreq(1 << 15, 1.0 / sr)
         got = float(freqs[mag.argmax()])
-        want = token_frequency(int(tok), speaker)
-        ok = abs(got - want) / want <= tol
+        want = token_frequency(int(tok), speaker, sr)
+        nearest = float(tones[np.abs(np.log(tones) - np.log(max(got, 1.0))
+                                     ).argmin()])
+        ok = abs(nearest - want) < 1e-6
         hits += ok
         total += 1
         details.append((int(tok), round(want, 1), round(got, 1), bool(ok)))
@@ -206,7 +215,9 @@ def main() -> None:
         res = synth.synthesize(texts=heldout,
                                speaker_ids=[spk] * len(heldout),
                                librosa_trim=False)
-        lo, hi = 140.0 * 2 ** spk, 140.0 * 2 ** (spk + 1)
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        from make_synthetic_corpus import speaker_band_hz
+        lo, hi = speaker_band_hz(spk, sr)
         peaks = [dominant_hz(w, sr) for w in res["wavs"]]
         in_band = [lo * 0.9 <= p < hi * 1.1 for p in peaks]
         f0_results[str(spk)] = {

@@ -5,12 +5,13 @@ Two corpus styles:
 
 - ``melody`` (default): each frontend token of the cleaned text becomes a
   50 ms tone segment (4 frames = exactly one decoder step at r=4) whose
-  frequency encodes the token id within the speaker's octave; spaces/EOS
-  are silent.  The audio is therefore a deterministic, MONOTONIC function
-  of the token sequence — attention has a real signal to align to, so a
-  training run on this corpus can demonstrate the diagonal forming
-  (docs/CONVERGENCE.md), and per-speaker bands (one octave apart per
-  speaker index) make speaker identity measurable in synthesized audio.
+  frequency encodes the token id within the speaker's FFT-bin-aligned
+  band (see :func:`token_frequency`); spaces/EOS are silent.  The audio
+  is therefore a deterministic, MONOTONIC function of the token sequence
+  — attention has a real signal to align to, so a training run on this
+  corpus can demonstrate the diagonal forming (docs/CONVERGENCE.md), and
+  disjoint per-speaker bands make speaker identity measurable in
+  synthesized audio.
 - ``sine``: per-utterance stationary sine with per-speaker f0 — the
   round-1..3 corpus, kept for step-time studies where audio content does
   not matter.
@@ -70,26 +71,47 @@ def sentence_pool(seed: int = 7) -> list:
     return pool
 
 
-#: melody parameters: token segment duration (s) and base frequency (Hz).
+#: melody parameters: token segment duration (s).
 #: 0.05 s = 4 frames at the 12.5 ms shift = one r=4 decoder step per token.
 TOKEN_SECONDS = 0.05
-BASE_F0 = 140.0
+#: tones per speaker and speaker band origin/stride, in FFT BINS of the
+#: model's 1025-bin linear spectrogram (bin = sr/2048 = 11.72 Hz at 24 kHz)
+TONES_PER_SPEAKER = 24
+_BAND_ORIGIN_BIN = 40   # speaker 0 starts at bin 40 (469 Hz) — below
+#   ~440 Hz the trained model's spectral peaks pull up to 1.5 bins
+#   (preemphasis-attenuated low band); above it they land <1% off
+_BAND_STRIDE_BIN = 50   # speaker bands 50 bins apart (no overlap)
+_TONE_STRIDE_BIN = 2    # adjacent tones 2 bins apart
 
 _SPACE_ID = char_to_id[" "]
 
 
 def token_frequency(token_id: int, speaker: int,
-                    base: float = BASE_F0) -> float:
-    """Frequency encoding one token for one speaker: the token id picks a
-    position in the speaker's octave [base*2^spk, base*2^(spk+1)); the *7
-    stride decorrelates adjacent ids so neighboring jamo don't sound
-    almost identical."""
-    return base * (2.0 ** speaker) * 2.0 ** (((token_id * 7) % 24) / 24.0)
+                    sample_rate: int = 24000) -> float:
+    """Tone for (token, speaker), ALIGNED TO FFT BIN CENTERS of the
+    model's own linear-spectrogram grid (n_fft=2048): the model expresses
+    pitch on 11.7 Hz bins, so off-grid tones would make per-token pitch
+    measurement ambiguous at ±1 bin regardless of alignment quality
+    (measured: a 2.9%-spaced log scale scored ~50% at ±1.5% tolerance
+    with every error under 6% — pure grid quantization, not
+    misalignment).  Adjacent tones sit 2 bins apart and speaker bands are
+    disjoint: speaker 0 = bins 40..86 (469-1008 Hz), speaker 1 =
+    bins 90..136 (1055-1594 Hz).  The *7 stride decorrelates neighboring
+    token ids."""
+    pos = (token_id * 7) % TONES_PER_SPEAKER
+    k = _BAND_ORIGIN_BIN + _BAND_STRIDE_BIN * speaker + _TONE_STRIDE_BIN * pos
+    return sample_rate / 2048.0 * k
+
+
+def speaker_band_hz(speaker: int, sample_rate: int = 24000) -> tuple:
+    """[lowest, highest] tone frequency of one speaker's band."""
+    k0 = _BAND_ORIGIN_BIN + _BAND_STRIDE_BIN * speaker
+    k1 = k0 + _TONE_STRIDE_BIN * (TONES_PER_SPEAKER - 1)
+    return (sample_rate / 2048.0 * k0, sample_rate / 2048.0 * k1)
 
 
 def melody_wav(tokens, speaker: int, sr: int,
-               tok_seconds: float = TOKEN_SECONDS,
-               base: float = BASE_F0) -> np.ndarray:
+               tok_seconds: float = TOKEN_SECONDS) -> np.ndarray:
     """Token sequence -> waveform: one enveloped tone segment per token,
     silence for space/PAD/EOS."""
     seg = int(round(tok_seconds * sr))
@@ -104,7 +126,7 @@ def melody_wav(tokens, speaker: int, sr: int,
         if tok in (PAD_ID, EOS_ID, _SPACE_ID):
             parts.append(np.zeros(seg, np.float32))
             continue
-        f = token_frequency(int(tok), speaker, base)
+        f = token_frequency(int(tok), speaker, sr)
         parts.append((0.45 * np.sin(2 * np.pi * f * t)
                       * env).astype(np.float32))
     return np.concatenate(parts)
