@@ -323,6 +323,15 @@ def attention_health(alignment: np.ndarray,
       sweep left to right.
 
     ``ok`` is the conjunction of the three thresholds.
+
+    Also reported (diagnostic, not part of ``ok``): ``path_coverage`` —
+    the fraction of input tokens the argmax path comes within 2 positions
+    of.  Soft-monotonic attention (``bah_mon``, the default type) is wide
+    by construction — its per-step weights diffuse like a random walk even
+    when perfectly aligned, so ``focus``/``coverage`` under-rate it; the
+    argmax path still traces the diagonal, which ``path_coverage``
+    captures (see docs/CONVERGENCE.md for a measured example: focus 0.02,
+    path_coverage 1.0, per-token acoustics correct).
     """
     alignment = np.asarray(alignment, np.float32)
     coverage = float((alignment.max(axis=1)
@@ -331,12 +340,17 @@ def attention_health(alignment: np.ndarray,
     path = alignment.argmax(axis=0)
     monotonicity = (1.0 if len(path) < 2 else
                     float((np.diff(path) >= -2).mean()))
+    n_in = alignment.shape[0]
+    visited = np.zeros(n_in, bool)
+    for p in np.unique(path):
+        visited[max(0, p - 2):p + 3] = True
     return {
         "ok": bool(coverage >= min_coverage and focus >= min_focus
                    and monotonicity >= min_monotonicity),
         "coverage": coverage,
         "focus": focus,
         "monotonicity": monotonicity,
+        "path_coverage": float(visited.mean()),
     }
 
 

@@ -545,3 +545,25 @@ def test_adaptive_budget_steps_per_token_is_configurable():
     assert cfg.model.steps_per_token == 4.0
     loaded = Config.from_json(cfg.to_json())
     assert loaded.model.steps_per_token == 4.0
+
+
+def test_attention_health_path_coverage():
+    """path_coverage rates soft-monotonic (bah_mon) alignment fairly: a
+    WIDE but perfectly-travelling attention bump scores low focus yet full
+    path coverage; collapsed attention scores low on both."""
+    from tacotron_tpu.synth import attention_health
+
+    T_in, T_dec = 20, 40
+    # wide soft bump whose CENTER sweeps the diagonal (sigma 4 tokens)
+    pos = np.minimum(np.arange(T_dec) / 2.0, T_in - 1)
+    grid = np.arange(T_in)[:, None]
+    soft = np.exp(-0.5 * ((grid - pos[None, :]) / 4.0) ** 2)
+    soft = (soft / soft.sum(0, keepdims=True)).astype(np.float32)
+    h = attention_health(soft)
+    assert h["focus"] < 0.25          # under-rated by sharpness metrics
+    assert h["path_coverage"] == 1.0  # but the path visits every token
+
+    col = np.zeros((T_in, T_dec), np.float32)
+    col[3, :] = 1.0
+    h = attention_health(col)
+    assert h["path_coverage"] < 0.3

@@ -347,3 +347,32 @@ class TestDurations:
         durations = get_durations([str(wav), str(tmp_path / "b.mp3"),
                                    str(tmp_path / "missing.wav")])
         assert len(durations) == 2
+
+
+def test_melody_corpus_tone_instrument_self_consistency():
+    """The convergence study's measurement instrument validated against
+    ground truth: a melody_wav synthesized directly from tokens must score
+    100% token-tone accuracy and sit inside its speaker band — otherwise
+    study numbers would measure the instrument, not the model."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    from convergence_study import dominant_hz, token_tone_accuracy
+    from make_synthetic_corpus import (melody_wav, speaker_band_hz,
+                                       token_frequency)
+    from tacotron_tpu.text import text_to_sequence
+
+    text = "오늘은 아침에 노래를 불러요"
+    tokens = text_to_sequence(text, ["korean_cleaners"])
+    for spk in (0, 1):
+        wav = melody_wav(tokens, spk, 24000)
+        acc = token_tone_accuracy(wav, text, spk, 24000)
+        assert acc["accuracy"] == 1.0 and acc["n_segments"] > 10
+        lo, hi = speaker_band_hz(spk)
+        assert lo * 0.9 <= dominant_hz(wav, 24000) < hi * 1.1
+    # disjoint speaker bands; bin-aligned tones (exact FFT grid multiples)
+    assert speaker_band_hz(0)[1] < speaker_band_hz(1)[0]
+    f = token_frequency(13, 0, 24000)
+    assert abs(f / (24000 / 2048.0) - round(f / (24000 / 2048.0))) < 1e-9
