@@ -79,6 +79,7 @@ def _aggregate(utts: List[Dict]) -> Dict[str, float]:
         "mean_coverage": mean(("attention", "coverage")),
         "mean_focus": mean(("attention", "focus")),
         "mean_monotonicity": mean(("attention", "monotonicity")),
+        "mean_path_coverage": mean(("attention", "path_coverage")),
         "mean_duration_s": mean(("audio", "duration_s")),
         "mean_rms": mean(("audio", "rms")),
         "mean_silence_fraction": mean(("audio", "silence_fraction")),
@@ -151,6 +152,8 @@ def evaluate_speakers(synth: Synthesizer,
             "num_speakers": len(aggs),
             "worst_attention_ok_rate": min(a["attention_ok_rate"]
                                            for a in aggs),
+            "worst_path_coverage": min(a["mean_path_coverage"]
+                                       for a in aggs),
             "rms_spread_ratio": (max(rms) / max(min(rms), 1e-10)),
             "seconds_per_token_spread_ratio": (
                 max(rate) / max(min(rate), 1e-10)),
