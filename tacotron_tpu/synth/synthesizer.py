@@ -305,7 +305,8 @@ def attention_health(alignment: np.ndarray,
                      coverage_threshold: float = 0.2,
                      min_coverage: float = 0.5,
                      min_focus: float = 0.25,
-                     min_monotonicity: float = 0.6) -> Dict[str, float]:
+                     min_monotonicity: float = 0.6,
+                     soft_monotonic: bool = False) -> Dict[str, float]:
     """Per-utterance attention diagnostics for one [T_in, T_dec] alignment
     (cropped to the true input length).
 
@@ -324,14 +325,21 @@ def attention_health(alignment: np.ndarray,
 
     ``ok`` is the conjunction of the three thresholds.
 
-    Also reported (diagnostic, not part of ``ok``): ``path_coverage`` —
-    the fraction of input tokens the argmax path comes within 2 positions
-    of.  Soft-monotonic attention (``bah_mon``, the default type) is wide
-    by construction — its per-step weights diffuse like a random walk even
-    when perfectly aligned, so ``focus``/``coverage`` under-rate it; the
-    argmax path still traces the diagonal, which ``path_coverage``
-    captures (see docs/CONVERGENCE.md for a measured example: focus 0.02,
+    Also reported: ``path_coverage`` — the fraction of input tokens the
+    argmax path comes within 2 positions of.  Soft-monotonic attention
+    (``bah_mon``, the default type) is wide by construction — its
+    per-step weights diffuse like a random walk even when perfectly
+    aligned, so ``focus``/``coverage`` under-rate it; the argmax path
+    still traces the diagonal, which ``path_coverage`` captures (see
+    docs/CONVERGENCE.md for a measured example: focus 0.02,
     path_coverage 1.0, per-token acoustics correct).
+
+    ``soft_monotonic=True`` judges ``ok`` by what soft-monotonic
+    attention can actually exhibit — ``path_coverage >= min_coverage``
+    and monotonicity — instead of the sharpness gates.
+    :meth:`Synthesizer.synthesize_robust` and
+    ``tools.speaker_eval`` select this automatically for ``bah_mon``
+    models (a sharpness gate there would retry every healthy decode).
     """
     alignment = np.asarray(alignment, np.float32)
     coverage = float((alignment.max(axis=1)
@@ -344,13 +352,19 @@ def attention_health(alignment: np.ndarray,
     visited = np.zeros(n_in, bool)
     for p in np.unique(path):
         visited[max(0, p - 2):p + 3] = True
+    path_coverage = float(visited.mean())
+    if soft_monotonic:
+        ok = bool(path_coverage >= min_coverage
+                  and monotonicity >= min_monotonicity)
+    else:
+        ok = bool(coverage >= min_coverage and focus >= min_focus
+                  and monotonicity >= min_monotonicity)
     return {
-        "ok": bool(coverage >= min_coverage and focus >= min_focus
-                   and monotonicity >= min_monotonicity),
+        "ok": ok,
         "coverage": coverage,
         "focus": focus,
         "monotonicity": monotonicity,
-        "path_coverage": float(visited.mean()),
+        "path_coverage": path_coverage,
     }
 
 
@@ -932,7 +946,12 @@ class Synthesizer:
         res = self.synthesize(texts=texts, sequences=sequences,
                               speaker_ids=speaker_ids,
                               return_alignments=True, **kwargs)
-        health = [attention_health(al, **(health_kwargs or {}))
+        hk = dict(health_kwargs or {})
+        # soft-monotonic attention never exhibits sharpness; judging it by
+        # the sharpness gates would retry every healthy decode
+        hk.setdefault("soft_monotonic",
+                      self.config.model.attention_type == "bah_mon")
+        health = [attention_health(al, **hk)
                   for al in res["alignments"]]
         res["attention_health"] = health
         bad = [i for i, h in enumerate(health) if not h["ok"]]

@@ -121,6 +121,12 @@ def evaluate_speakers(synth: Synthesizer,
                            max_steps=max_steps, fast_vocoder=fast_vocoder,
                            return_alignments=True)
     sr = synth.config.audio.sample_rate
+    health_kwargs = dict(health_kwargs or {})
+    # judge bah_mon by what soft-monotonic attention can exhibit
+    # (path coverage + monotonicity) — see attention_health docstring
+    health_kwargs.setdefault(
+        "soft_monotonic",
+        synth.config.model.attention_type == "bah_mon")
 
     report: Dict = {"speakers": {}, "cross_speaker": {}}
     for si, spk in enumerate(speakers):

@@ -562,8 +562,12 @@ def test_attention_health_path_coverage():
     h = attention_health(soft)
     assert h["focus"] < 0.25          # under-rated by sharpness metrics
     assert h["path_coverage"] == 1.0  # but the path visits every token
+    assert not h["ok"]                # sharpness gates: fails
+    assert attention_health(soft, soft_monotonic=True)["ok"]  # fair gate
 
     col = np.zeros((T_in, T_dec), np.float32)
     col[3, :] = 1.0
     h = attention_health(col)
     assert h["path_coverage"] < 0.3
+    # collapsed attention fails under BOTH gates
+    assert not attention_health(col, soft_monotonic=True)["ok"]
