@@ -30,10 +30,19 @@ import numpy as np  # noqa: E402
 
 
 def log_spectral_distance(a: np.ndarray, b: np.ndarray,
-                          n_fft: int = 1024, hop: int = 256) -> float:
+                          n_fft: int = 1024, hop: int = 256,
+                          floor_db: float | None = -60.0) -> float:
     """LSD in dB between two waveforms (truncated to the common length):
     sqrt(mean over frames of mean over bins of (10*log10 P_a - 10*log10
-    P_b)^2)."""
+    P_b)^2).
+
+    ``floor_db`` clamps both power spectra at ``peak + floor_db`` dB
+    (the usual dynamic-range cap): without it, bins that are silent in
+    the reference but hold mu-law quantization noise in the test signal
+    contribute log-ratios of 60-80 dB each and the metric measures the
+    noise floor's depth, not audible spectral distortion.  Pass ``None``
+    for the raw unfloored value.
+    """
     n = min(len(a), len(b))
     a, b = a[:n].astype(np.float64), b[:n].astype(np.float64)
     win = np.hanning(n_fft)
@@ -45,6 +54,9 @@ def log_spectral_distance(a: np.ndarray, b: np.ndarray,
         return np.abs(np.fft.rfft(x[idx] * win, axis=1)) ** 2
 
     pa, pb = power(a) + 1e-12, power(b) + 1e-12
+    if floor_db is not None:
+        floor = max(pa.max(), pb.max()) * 10.0 ** (floor_db / 10.0)
+        pa, pb = np.maximum(pa, floor), np.maximum(pb, floor)
     d = 10.0 * np.log10(pa) - 10.0 * np.log10(pb)
     return float(np.sqrt((d ** 2).mean(axis=1)).mean())
 
@@ -86,16 +98,23 @@ def main() -> None:
     mu = synth.synthesize(wire_format="mulaw8", **common)["wavs"]
 
     lsd = [log_spectral_distance(r, m) for r, m in zip(ref, mu)]
+    lsd_raw = [log_spectral_distance(r, m, floor_db=None)
+               for r, m in zip(ref, mu)]
     snr = [snr_db(r, m) for r, m in zip(ref, mu)]
     report = {
         "n_utterances": len(texts),
         "lsd_db_mean": round(float(np.mean(lsd)), 3),
         "lsd_db_max": round(float(np.max(lsd)), 3),
+        "lsd_floor_db": -60.0,
+        "lsd_db_mean_unfloored": round(float(np.mean(lsd_raw)), 3),
         "snr_db_mean": round(float(np.mean(snr)), 2),
         "snr_db_min": round(float(np.min(snr)), 2),
         "note": "int16 wire vs mulaw8 wire, same decode/vocoder — the "
                 "distortion is purely the 8-bit companding on the host "
-                "link; bandwidth halves (BENCH_DETAIL serve_mulaw)",
+                "link; bandwidth halves (BENCH_DETAIL serve_mulaw). LSD "
+                "uses a -60 dB dynamic-range floor; the unfloored value "
+                "measures the quantization noise floor in silent bins, "
+                "not audible distortion",
     }
     print(json.dumps(report, indent=2))
     if args.out:
