@@ -376,3 +376,29 @@ def test_melody_corpus_tone_instrument_self_consistency():
     assert speaker_band_hz(0)[1] < speaker_band_hz(1)[0]
     f = token_frequency(13, 0, 24000)
     assert abs(f / (24000 / 2048.0) - round(f / (24000 / 2048.0))) < 1e-9
+
+
+def test_mulaw_quality_lsd_floor():
+    """scripts/mulaw_quality.py's LSD: identical signals score 0; with the
+    -60 dB dynamic-range floor the metric ignores quantization noise in
+    silent bins (which otherwise dominates: the unfloored value explodes
+    even though the audible band is untouched)."""
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    from mulaw_quality import log_spectral_distance, snr_db
+
+    rng = np.random.default_rng(0)
+    t = np.arange(24000 * 2) / 24000.0
+    tone = np.sin(2 * np.pi * 440.0 * t).astype(np.float64)
+    assert log_spectral_distance(tone, tone) == 0.0
+
+    # mu-law-like additive noise at -50 dBFS: inaudible next to the tone,
+    # but it fills bins that are silent in the reference
+    noisy = tone + 3e-3 * rng.standard_normal(tone.shape)
+    floored = log_spectral_distance(tone, noisy)
+    raw = log_spectral_distance(tone, noisy, floor_db=None)
+    assert floored < 1.0, floored          # under the audibility rule of thumb
+    assert raw > 5 * max(floored, 1e-9)    # unfloored is noise-floor-driven
+    assert snr_db(tone, noisy) > 40.0
