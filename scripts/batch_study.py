@@ -26,6 +26,7 @@ import dataclasses
 import glob
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -69,6 +70,9 @@ def run_one(tag: str, batch: int, warmup: float, steps: int,
                                   test_interval=10 ** 9,
                                   checkpoint_interval=10 ** 9))
     run_dir = os.path.join(work, f"run_{tag}")
+    # metrics.jsonl appends across invocations: a stale run dir from an
+    # earlier (e.g. different --samples) study would contaminate the curve
+    shutil.rmtree(run_dir, ignore_errors=True)
     train(run_dir, data_dirs, cfg, num_steps=steps, log_every=10,
           prewarm=True)
     recs = read_metrics(os.path.join(run_dir, "metrics.jsonl"),
@@ -95,6 +99,7 @@ def main() -> None:
     data_dirs = build_corpus(args.work)
     runs = [
         ("b16_noam4k", 16, 4000.0, args.samples // 16),
+        ("b32_noam2k", 32, 2000.0, args.samples // 32),
         ("b64_noam4k", 64, 4000.0, args.samples // 64),
         ("b64_noam1k", 64, 1000.0, args.samples // 64),
     ]
@@ -105,6 +110,7 @@ def main() -> None:
                               args.work)
 
     b16 = tail_mean(curves["b16_noam4k"])
+    b32 = tail_mean(curves["b32_noam2k"])
     b64 = tail_mean(curves["b64_noam4k"])
     b64r = tail_mean(curves["b64_noam1k"])
     sps = {t: float(np.mean([s for _, _, s in c[-5:]]))
@@ -117,6 +123,7 @@ def main() -> None:
     winner = min(("b64_noam4k", b64), ("b64_noam1k", b64r),
                  key=lambda kv: kv[1])
     rel = abs(winner[1] - b16) / max(b16, 1e-9)
+    rel32 = abs(b32 - b16) / max(b16, 1e-9)
     lines = [
         "# Large-batch convergence study (loss vs samples)",
         "",
@@ -132,6 +139,8 @@ def main() -> None:
         "|---|---|---|---|---|",
         f"| b16_noam4k | 16 | 4000 | {b16:.4f} | "
         f"{sps['b16_noam4k']:.3f} |",
+        f"| b32_noam2k | 32 | 2000 (=B16 in samples) | {b32:.4f} | "
+        f"{sps['b32_noam2k']:.3f} |",
         f"| b64_noam4k | 64 | 4000 | {b64:.4f} | "
         f"{sps['b64_noam4k']:.3f} |",
         f"| b64_noam1k | 64 | 1000 (=B16 in samples) | {b64r:.4f} | "
@@ -150,6 +159,16 @@ def main() -> None:
         "## Conclusion",
         "",
     ]
+    thr = {t: b / sps[t] for (t, b, _, _) in runs}
+    lines.append(
+        f"Step throughput: B=16 {thr['b16_noam4k']:.0f} samples/s, B=32 "
+        f"{thr['b32_noam2k']:.0f} ({thr['b32_noam2k']/thr['b16_noam4k']:.2f}x), "
+        f"B=64 {thr[winner[0]]:.0f} "
+        f"({thr[winner[0]]/thr['b16_noam4k']:.2f}x) — so the convergence "
+        f"cost below is what the extra throughput buys.")
+    lines.append(
+        f"B=32 (warmup rescaled to match B=16 in samples) lands within "
+        f"{rel32:.1%} of B=16 per-sample convergence.")
     if rel < 0.05:
         lines.append(
             f"B=64 matches B=16 per-sample convergence within {rel:.1%} "
@@ -161,7 +180,8 @@ def main() -> None:
     else:
         lines.append(
             f"B=64 diverges from B=16 per-sample convergence by {rel:.1%} "
-            f"— keep the preset at a smaller batch or budget more samples.")
+            f"at this sample budget — prefer B=32 (or budget more "
+            f"samples/steps before judging B=64).")
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as fh:
         fh.write("\n".join(lines) + "\n")

@@ -307,7 +307,7 @@ class Config:
 
     @classmethod
     def tpu_recommended(cls, base: "Config" = None,
-                        batch_size: int = 64) -> "Config":
+                        batch_size: int = 32) -> "Config":
         """The ONE composed TPU training preset (``train.py --preset tpu``).
 
         Applies every individually-measured TPU win on top of ``base``
@@ -323,11 +323,16 @@ class Config:
           bytes per step (5.4x measured wall win on the tunneled link);
           corpora must be built with this config so the .npz carries the
           waveform;
-        - ``batch_size=64``: 2.4x step throughput vs B=16 at equal
-          per-sample convergence (docs/BATCH_STUDY.md — loss-vs-samples
-          curves overlap; the Noam warmup is step-based, so at 4x the
-          batch the model sees 4x the samples per warmup step, measured
-          benign at this scale).
+        - ``batch_size=32``: 1.6x samples/s vs B=16 with a modest
+          per-sample convergence cost (docs/BATCH_STUDY.md: at a 128k-
+          sample budget B=32 reaches 0.012 vs B=16's 0.007 final loss;
+          the docs/CONVERGENCE.md run trains B=32 to full held-out
+          quality).  B=64 is NOT the default: it buys only ~9% more
+          samples/s over B=32 yet converges measurably worse per sample
+          on small corpora (0.029 at the same budget, warmup already
+          rescaled) — raise the batch only with a sample budget to
+          match, and rescale the step-based Noam warmup by 16/B when
+          you do.
 
         Exact-reference-parity defaults stay on ``Config()``; this preset
         is where TPU production training should start.

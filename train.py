@@ -34,7 +34,7 @@ def main(argv=None) -> None:
                         help="'tpu' applies Config.tpu_recommended() on top "
                              "of the loaded config: bf16 compute + scan "
                              "unroll 8 + on-device feature extraction + "
-                             "batch 64 (docs/BF16_STUDY.md, BATCH_STUDY.md)")
+                             "batch 32 (docs/BF16_STUDY.md, BATCH_STUDY.md)")
     parser.add_argument("--num_steps", type=int, default=100000)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--model_type", default=None,
