@@ -579,11 +579,20 @@ def main() -> None:
             "training_live_note":
                 "WHAT `python train.py` ACHIEVES per step: fresh batch "
                 "every step through the driver's default prefetch-to-"
-                "device pipeline (depth 2, H2D overlapped with compute) "
-                "with the waveform wire; ~= max(transfer, compute) vs the "
-                "synchronous sum above. The resident-batch "
-                "training_frames_per_s_per_chip is the compute-only "
-                "ceiling, not the live loop.",
+                "device pipeline (depth 2) with the waveform wire. "
+                "CAVEAT, measured (docs/PERF.md 'Prefetch on the "
+                "tunneled link'): on THIS tunneled backend device_put "
+                "defers the actual wire move into the consuming step "
+                "(dispatch+block_until_ready ~2 ms for 1.8 MB that then "
+                "costs ~74 ms inside the step), so client-side overlap "
+                "cannot materialize and the producer thread's extra RPC "
+                "traffic makes the pipelined loop SLOWER than the "
+                "synchronous one here (paired A/B median 154 vs 86 "
+                "ms/step); pass --prefetch_depth 0 on tunneled dev "
+                "links. On production hosts where device_put starts a "
+                "real async DMA, depth 2 gives ~max(transfer, compute). "
+                "The resident-batch training_frames_per_s_per_chip is "
+                "the compute-only ceiling, not the live loop.",
             "training_mfu_pct": round(train_mfu_pct, 2),
             "training_bf16_mfu_pct": round(bf16_mfu_pct, 2),
             "training_total_gflops_per_step": round(

@@ -46,7 +46,7 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
           blacklists: Sequence[str] = (),
           prewarm: bool = False,
           sync_every: int = 25,
-          prefetch_depth: int = 2) -> TrainState:
+          prefetch_depth: Optional[int] = None) -> TrainState:
     """Run the training loop; returns the final state.
 
     ``sync_every`` controls the dispatch-ahead depth: device metrics are
@@ -63,12 +63,18 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
 
     ``prefetch_depth`` double-buffers the host->device transfer: a
     background thread issues ``shard_batch`` for batch k+1 while step k
-    computes (``parallel/prefetch.py``), so a transfer-bound loop runs at
-    max(transfer, compute) instead of their sum — the jax successor to the
-    reference's FIFOQueue enqueue thread
+    computes (``parallel/prefetch.py``), so on hosts whose ``device_put``
+    starts a real async DMA a transfer-bound loop runs at max(transfer,
+    compute) instead of their sum — the jax successor to the reference's
+    FIFOQueue enqueue thread
     (``/root/reference/datasets/datafeeder.py:157-167``).  0 restores the
     synchronous transfer on the critical path; batch order (and therefore
-    the trained parameters) is identical either way."""
+    the trained parameters) is identical either way.  ``None`` (default)
+    resolves by backend: 0 on the tunneled dev backend (``axon``), where
+    the transport defers the wire move into the consuming step — measured
+    there, the producer thread cannot overlap anything and its extra RPC
+    traffic makes the loop ~1.8x SLOWER (paired A/B in docs/PERF.md,
+    'Prefetch on the tunneled link') — and 2 everywhere else."""
     os.makedirs(run_dir, exist_ok=True)
     init_log(os.path.join(run_dir, "train.log"), os.path.basename(run_dir),
              webhook_url=webhook_url)
@@ -158,6 +164,17 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
             del dummy
             log(f"prewarm done in {time.time() - t0:.1f} s")
 
+    if prefetch_depth is None:
+        # measured default (docs/PERF.md): the axon tunnel defers H2D
+        # wire moves into the consuming step, so the prefetch thread only
+        # adds RPC contention there.  The tunnel registers as platform
+        # 'tpu'; its platform_version string is the discriminator.
+        version = getattr(jax.devices()[0].client, "platform_version", "")
+        tunneled = "axon" in version.lower()
+        prefetch_depth = 0 if tunneled else 2
+        log(f"prefetch_depth auto -> {prefetch_depth} "
+            f"({'tunneled (axon)' if tunneled else 'direct'} "
+            f"{jax.default_backend()} backend)")
     prefetcher = None
     if prefetch_depth > 0:
         from ..parallel.prefetch import DevicePrefetcher

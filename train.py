@@ -63,10 +63,14 @@ def main(argv=None) -> None:
                              "+36%% f32 step throughput, scripts/"
                              "train_profile.py), or an integer forcing "
                              "both knobs")
-    parser.add_argument("--prefetch_depth", type=int, default=2,
+    parser.add_argument("--prefetch_depth", type=int, default=None,
                         help="device batches transferred ahead of the "
                              "compute step (H2D/compute overlap); 0 = "
-                             "synchronous transfer on the critical path")
+                             "synchronous transfer on the critical path; "
+                             "default: auto — 0 on the tunneled dev "
+                             "backend where deferred wire moves make the "
+                             "thread counterproductive (docs/PERF.md), "
+                             "2 elsewhere")
     parser.add_argument("--sync_every", type=int, default=25,
                         help="steps between host metric flushes (dispatch-"
                              "ahead depth); 1 = fully synchronous like the "
