@@ -27,6 +27,23 @@ from .state import TrainState, create_train_state
 from .step import Batch, make_eval_step, make_train_step
 
 
+def resolve_prefetch_depth(platform_version: Optional[str] = None) -> int:
+    """The measured default for ``train(prefetch_depth=None)``.
+
+    0 on the tunneled dev transport (axon): it DEFERS the H2D wire move
+    into the consuming step, so a producer thread cannot overlap anything
+    and its extra RPC traffic makes the loop ~1.8x slower (paired A/B in
+    docs/PERF.md, 'Prefetch on the tunneled link').  2 on direct backends,
+    where ``jax.device_put`` starts a real async DMA and depth 2 yields
+    ~max(transfer, compute).  The tunnel registers as platform ``tpu``;
+    its ``platform_version`` string is the discriminator.
+    """
+    if platform_version is None:
+        platform_version = getattr(jax.devices()[0].client,
+                                   "platform_version", "")
+    return 0 if "axon" in platform_version.lower() else 2
+
+
 class DivergenceError(RuntimeError):
     pass
 
@@ -165,16 +182,9 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
             log(f"prewarm done in {time.time() - t0:.1f} s")
 
     if prefetch_depth is None:
-        # measured default (docs/PERF.md): the axon tunnel defers H2D
-        # wire moves into the consuming step, so the prefetch thread only
-        # adds RPC contention there.  The tunnel registers as platform
-        # 'tpu'; its platform_version string is the discriminator.
-        version = getattr(jax.devices()[0].client, "platform_version", "")
-        tunneled = "axon" in version.lower()
-        prefetch_depth = 0 if tunneled else 2
+        prefetch_depth = resolve_prefetch_depth()
         log(f"prefetch_depth auto -> {prefetch_depth} "
-            f"({'tunneled (axon)' if tunneled else 'direct'} "
-            f"{jax.default_backend()} backend)")
+            f"({jax.default_backend()} backend)")
     prefetcher = None
     if prefetch_depth > 0:
         from ..parallel.prefetch import DevicePrefetcher

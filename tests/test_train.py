@@ -293,3 +293,17 @@ def test_device_prefetcher_order_and_error_propagation():
 
     with pytest.raises(ValueError):
         DevicePrefetcher(lambda: 0, lambda x: x, depth=0)
+
+
+def test_prefetch_depth_auto_resolution():
+    """prefetch_depth=None resolves by backend: 0 on the tunneled axon
+    transport (deferred wire moves defeat client-side overlap — measured,
+    docs/PERF.md), 2 on direct backends (this CPU run)."""
+    from tacotron_tpu.train.driver import resolve_prefetch_depth
+
+    # the live backend in tests is the forced CPU platform: direct -> 2
+    assert resolve_prefetch_depth() == 2
+    assert resolve_prefetch_depth(
+        "PJRT C API\naxon 0.1.0; SerializedExecutable v9") == 0
+    assert resolve_prefetch_depth("TFRT TPU v5 lite") == 2
+    assert resolve_prefetch_depth("") == 2
