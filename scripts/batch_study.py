@@ -23,36 +23,18 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import glob
 import json
 import os
 import shutil
-import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 import numpy as np  # noqa: E402
 
-
-def build_corpus(work: str) -> list:
-    corpus = os.path.join(work, "corpus")
-    if not os.path.exists(os.path.join(corpus, "heldout.json")):
-        subprocess.run(
-            [sys.executable, os.path.join(REPO, "scripts",
-                                          "make_synthetic_corpus.py"),
-             corpus, "--style", "melody", "--utterances", "96",
-             "--store_waveform"], check=True)
-    from tacotron_tpu.config import load_config
-    from tacotron_tpu.data import build_from_path
-    cfg = load_config(os.path.join(corpus, "config.json"))
-    dirs = []
-    for spk_dir in sorted(glob.glob(os.path.join(corpus, "spk*"))):
-        build_from_path(os.path.join(spk_dir, "metadata.csv"), cfg,
-                        num_workers=4)
-        dirs.append(os.path.join(spk_dir, "data"))
-    return dirs
+from make_synthetic_corpus import ensure_corpus  # noqa: E402
 
 
 def run_one(tag: str, batch: int, warmup: float, steps: int,
@@ -96,7 +78,7 @@ def main() -> None:
     tacotron_tpu.enable_compilation_cache()
     import jax
 
-    data_dirs = build_corpus(args.work)
+    data_dirs = ensure_corpus(args.work, utterances=96)
     runs = [
         ("b16_noam4k", 16, 4000.0, args.samples // 16),
         ("b32_noam2k", 32, 2000.0, args.samples // 32),

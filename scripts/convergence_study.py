@@ -33,34 +33,16 @@ import glob
 import json
 import os
 import shutil
-import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 import numpy as np  # noqa: E402
 
-
-def build_corpus(work: str, utterances: int, batch_size: int) -> list:
-    corpus = os.path.join(work, "corpus")
-    if not os.path.exists(os.path.join(corpus, "heldout.json")):
-        subprocess.run(
-            [sys.executable, os.path.join(REPO, "scripts",
-                                          "make_synthetic_corpus.py"),
-             corpus, "--style", "melody", "--utterances", str(utterances),
-             "--batch_size", str(batch_size), "--store_waveform"],
-            check=True)
-    from tacotron_tpu.config import load_config
-    from tacotron_tpu.data import build_from_path
-    cfg = load_config(os.path.join(corpus, "config.json"))
-    dirs = []
-    for spk_dir in sorted(glob.glob(os.path.join(corpus, "spk*"))):
-        build_from_path(os.path.join(spk_dir, "metadata.csv"), cfg,
-                        num_workers=4)
-        dirs.append(os.path.join(spk_dir, "data"))
-    return dirs
+from make_synthetic_corpus import ensure_corpus  # noqa: E402
 
 
 def dominant_hz(wav: np.ndarray, sr: int) -> float:
@@ -86,7 +68,6 @@ def token_tone_accuracy(wav: np.ndarray, text: str, speaker: int,
     robust to the model's intrinsic ±1-bin spectral quantization."""
     from tacotron_tpu.text import text_to_sequence
     from tacotron_tpu.text.symbols import EOS_ID, PAD_ID, char_to_id
-    sys.path.insert(0, os.path.join(REPO, "scripts"))
     from make_synthetic_corpus import (TOKEN_SECONDS, TONES_PER_SPEAKER,
                                        _BAND_ORIGIN_BIN, _BAND_STRIDE_BIN,
                                        _TONE_STRIDE_BIN, token_frequency)
@@ -167,7 +148,8 @@ def main() -> None:
     import jax
 
     os.makedirs(args.work, exist_ok=True)
-    data_dirs = build_corpus(args.work, args.utterances, args.batch_size)
+    data_dirs = ensure_corpus(args.work, args.utterances,
+                              args.batch_size)
     corpus = os.path.join(args.work, "corpus")
     heldout = json.load(open(os.path.join(corpus, "heldout.json")))
 
@@ -215,7 +197,6 @@ def main() -> None:
         res = synth.synthesize(texts=heldout,
                                speaker_ids=[spk] * len(heldout),
                                librosa_trim=False)
-        sys.path.insert(0, os.path.join(REPO, "scripts"))
         from make_synthetic_corpus import speaker_band_hz
         lo, hi = speaker_band_hz(spk, sr)
         peaks = [dominant_hz(w, sr) for w in res["wavs"]]

@@ -132,6 +132,49 @@ def melody_wav(tokens, speaker: int, sr: int,
     return np.concatenate(parts)
 
 
+def ensure_corpus(work: str, utterances: int = 96, batch_size: int = 8,
+                  style: str = "melody", num_workers: int = 4) -> list:
+    """Build (or reuse) the synthetic corpus under ``work/corpus`` and run
+    the offline preprocessor; returns the per-speaker data dirs.
+
+    Shared by the convergence and batch studies.  The corpus is reused
+    only when it was built with the SAME parameters: a ``build_args.json``
+    marker records them, and any mismatch (e.g. a rerun with a different
+    ``--utterances``) rebuilds from scratch instead of silently training
+    on a stale corpus that contradicts the report header.
+    """
+    import shutil
+    import subprocess
+
+    corpus = os.path.join(work, "corpus")
+    marker = os.path.join(corpus, "build_args.json")
+    want = {"style": style, "utterances": utterances,
+            "batch_size": batch_size, "store_waveform": True}
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            have = json.load(fh)
+    if have != want:
+        shutil.rmtree(corpus, ignore_errors=True)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), corpus,
+             "--style", style, "--utterances", str(utterances),
+             "--batch_size", str(batch_size), "--store_waveform"],
+            check=True)
+        with open(marker, "w") as fh:
+            json.dump(want, fh)
+    from tacotron_tpu.config import load_config
+    from tacotron_tpu.data import build_from_path
+    cfg = load_config(os.path.join(corpus, "config.json"))
+    dirs = []
+    import glob as _glob
+    for spk_dir in sorted(_glob.glob(os.path.join(corpus, "spk*"))):
+        build_from_path(os.path.join(spk_dir, "metadata.csv"), cfg,
+                        num_workers=num_workers)
+        dirs.append(os.path.join(spk_dir, "data"))
+    return dirs
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("out_dir")

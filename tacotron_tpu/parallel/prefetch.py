@@ -59,8 +59,14 @@ class DevicePrefetcher:
         except BaseException as e:  # noqa: BLE001 — must reach the consumer
             self._error = e
 
-    def get(self, timeout: float = 120.0) -> Any:
-        """Next device-resident batch, in source order."""
+    def get(self, timeout: Optional[float] = None) -> Any:
+        """Next device-resident batch, in source order.
+
+        Blocks indefinitely by default — matching the synchronous
+        ``feeder.get()`` loop this pipeline replaces, where a slow (but
+        healthy) feeder simply stalls the step rather than killing the
+        run.  Pass ``timeout`` (seconds) to bound the wait instead.
+        """
         while True:
             try:
                 return self._queue.get(timeout=0.5)
@@ -69,11 +75,17 @@ class DevicePrefetcher:
                 if self._error is not None:
                     raise self._error
                 if not self._thread.is_alive():
+                    # the producer may have stored its error between our
+                    # check above and its exit — re-check before reporting
+                    # the generic failure so the root cause isn't dropped
+                    if self._error is not None:
+                        raise self._error
                     raise RuntimeError("prefetch producer exited")
-                timeout -= 0.5
-                if timeout <= 0:
-                    raise TimeoutError(
-                        "prefetcher produced no batch in time")
+                if timeout is not None:
+                    timeout -= 0.5
+                    if timeout <= 0:
+                        raise TimeoutError(
+                            "prefetcher produced no batch in time")
 
     def stop(self) -> None:
         """Stop the producer; safe to call twice.  Queued batches are

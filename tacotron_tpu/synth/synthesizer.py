@@ -86,6 +86,29 @@ def adaptive_max_steps(num_tokens: int, min_iters: int, max_iters: int,
     return max_iters
 
 
+def prewarm_step_rungs(cfg, token_buckets: Sequence[int],
+                       max_steps: Optional[int] = None) -> dict:
+    """Decode-step rungs :meth:`Synthesizer.prewarm` must compile per token
+    bucket — exactly the set :func:`adaptive_max_steps` can choose at
+    serving time (same ``cfg.model.steps_per_token``, so a non-default
+    value prewarms the programs ``synthesize`` will actually pick).
+    Batches land in bucket ``b`` only when their longest text exceeds the
+    previous bucket, so rungs reachable only from shorter texts are
+    excluded (each fused program costs ~15 s of XLA compile)."""
+    buckets = sorted(token_buckets)
+    rungs = {}
+    for i, bucket in enumerate(buckets):
+        if max_steps is not None:
+            rungs[bucket] = [max_steps]
+            continue
+        lo = buckets[i - 1] + 1 if i > 0 else 1
+        rungs[bucket] = sorted({
+            adaptive_max_steps(t, cfg.data.min_iters, cfg.model.max_iters,
+                               steps_per_token=cfg.model.steps_per_token)
+            for t in range(lo, bucket + 1)})
+    return rungs
+
+
 def mulaw_encode(x: jnp.ndarray) -> jnp.ndarray:
     """mu-law companding (mu=255) of ``x`` in [-1, 1] to uint8 codes
     (0..255, 128 = zero) — the on-device half of the ``wire_format=
@@ -615,16 +638,9 @@ class Synthesizer:
         spk_on = cfg.model.num_speakers > 1
         n = 0
         buckets = sorted(token_buckets)
-        for i, bucket in enumerate(buckets):
-            if max_steps is not None:
-                step_set = [max_steps]
-            else:
-                lo = buckets[i - 1] + 1 if i > 0 else 1
-                step_set = sorted({
-                    adaptive_max_steps(t, cfg.data.min_iters,
-                                       cfg.model.max_iters)
-                    for t in range(lo, bucket + 1)})
-            for steps in step_set:
+        rungs = prewarm_step_rungs(cfg, buckets, max_steps)
+        for bucket in buckets:
+            for steps in rungs[bucket]:
                 fn = self._fused(bucket, steps, manual=False,
                                  trim=attention_trim, fast=fast_vocoder,
                                  wire=wire_format)

@@ -74,6 +74,8 @@ _LATIN_EXTRA = {
     "þ": "th", "ł": "l", "ħ": "h", "ŋ": "ng", "ı": "i", "ĸ": "k",
 }
 
+_WARNED_DROPPED: set = set()
+
 _TRANSLIT = {**_CYRILLIC, **_GREEK, **_LATIN_EXTRA}
 _TRANSLIT.update({k.upper(): v.capitalize() for k, v in _TRANSLIT.items()
                   if k.upper() != k})
@@ -95,14 +97,20 @@ def convert_to_ascii(text: str, warn_dropped: bool = True) -> str:
     mapped = "".join(_TRANSLIT.get(ch, ch) for ch in decomposed)
     out = mapped.encode("ascii", "ignore").decode("ascii")
     if warn_dropped:
+        # warn once per CHARACTER process-wide, not once per unique
+        # character SET: the default warning dedup keys on message text,
+        # so embedding per-utterance sets would emit a near-unique line
+        # per utterance across a large corpus build.
         dropped = {ch for ch in mapped if ord(ch) > 127
-                   and not unicodedata.combining(ch)}
+                   and not unicodedata.combining(ch)} - _WARNED_DROPPED
         if dropped:
+            _WARNED_DROPPED.update(dropped)
             warnings.warn(
                 f"convert_to_ascii dropped characters with no "
                 f"transliteration: {''.join(sorted(dropped))!r} (script "
                 f"not covered; the reference's Unidecode would "
-                f"transliterate some of these)", stacklevel=2)
+                f"transliterate some of these; further drops of these "
+                f"characters are silent)", stacklevel=2)
     return out
 
 

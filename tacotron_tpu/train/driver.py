@@ -332,7 +332,11 @@ def _zero_batch(config: Config, n: int, tok_len: int,
                                 np.float32), **common)
 
 
+# Bounded: one (config -> jitted forward) entry at a time.  Study sweeps
+# call train() many times with distinct configs; an unbounded id()-keyed
+# dict would leak one compiled XLA program + closed-over Config per run.
 _DUMP_CACHE: dict = {}
+_DUMP_CACHE_MAX = 2
 
 
 def _dump_samples(state: TrainState, batch: Batch, config: Config,
@@ -367,6 +371,8 @@ def _dump_samples(state: TrainState, batch: Batch, config: Config,
                 mel_targets=mel_targets, train=False)
             return out["linear_outputs"], out["alignments"]
 
+        while len(_DUMP_CACHE) >= _DUMP_CACHE_MAX:
+            _DUMP_CACHE.pop(next(iter(_DUMP_CACHE)))
         _DUMP_CACHE[key] = jax.jit(fwd)
     linear_out, align_out = _DUMP_CACHE[key](
         state.params, state.batch_stats, batch.inputs[:n],

@@ -301,6 +301,38 @@ def test_adaptive_max_steps_ladder():
     assert adaptive_max_steps(1, 30, 200) == STEP_LADDER[0]
 
 
+def test_prewarm_rungs_follow_steps_per_token():
+    """prewarm must compile exactly the rung set synthesize() will pick —
+    including a non-default ModelConfig.steps_per_token (the knob the
+    truncation warning tells users to raise): a mismatch would make the
+    first real request pay the XLA compile prewarm exists to hide."""
+    import dataclasses
+
+    from tacotron_tpu.synth.synthesizer import (adaptive_max_steps,
+                                                prewarm_step_rungs)
+    cfg = Config()
+    cfg8 = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                 steps_per_token=8.0))
+    buckets = (32, 64)
+    r4 = prewarm_step_rungs(cfg, buckets)
+    r8 = prewarm_step_rungs(cfg8, buckets)
+    assert r4 != r8  # the knob actually changes the compiled set
+    # every budget adaptive_max_steps can choose for a text routed to a
+    # bucket is in that bucket's prewarmed set
+    for c, rungs in ((cfg, r4), (cfg8, r8)):
+        prev = 0
+        for bucket in buckets:
+            for t in range(prev + 1, bucket + 1):
+                want = adaptive_max_steps(
+                    t, c.data.min_iters, c.model.max_iters,
+                    steps_per_token=c.model.steps_per_token)
+                assert want in rungs[bucket], (t, bucket, want)
+            prev = bucket
+    # explicit max_steps pins a single rung
+    assert prewarm_step_rungs(cfg8, buckets, max_steps=100) == {
+        32: [100], 64: [100]}
+
+
 def test_synthesize_default_steps_are_length_adaptive():
     """With max_steps omitted, short texts decode fewer steps (ladder
     rung) than the max_iters cap; output still trims/behaves normally."""

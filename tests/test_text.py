@@ -297,13 +297,21 @@ class TestTransliterationGoldens:
 
     def test_uncovered_scripts_warn_not_silent(self):
         import warnings as w
+        from tacotron_tpu.text import cleaners
         from tacotron_tpu.text.cleaners import convert_to_ascii
+        cleaners._WARNED_DROPPED.clear()  # warning is once-per-character
         with w.catch_warnings(record=True) as caught:
             w.simplefilter("always")
             out = convert_to_ascii("hello 你好 world")
             assert out == "hello  world"
             assert any("dropped characters" in str(c.message)
                        for c in caught)
+        # repeat drops of the SAME characters are silent (bounded log
+        # volume on corpus builds)
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            convert_to_ascii("hello 你好 again")
+            assert not caught
         # covered text produces no warning
         with w.catch_warnings(record=True) as caught:
             w.simplefilter("always")

@@ -294,6 +294,19 @@ def test_device_prefetcher_order_and_error_propagation():
     with pytest.raises(ValueError):
         DevicePrefetcher(lambda: 0, lambda x: x, depth=0)
 
+    # a slow-but-healthy source blocks get() (like the synchronous loop it
+    # replaces) instead of raising TimeoutError mid-run; an explicit
+    # timeout still bounds the wait
+    import time as _time
+    slow = DevicePrefetcher(lambda: _time.sleep(2.0) or 7, lambda x: x,
+                            depth=1)
+    try:
+        assert slow.get() == 7
+        with pytest.raises(TimeoutError):
+            slow.get(timeout=0.6)
+    finally:
+        slow.stop()
+
 
 def test_prefetch_depth_auto_resolution():
     """prefetch_depth=None resolves by backend: 0 on the tunneled axon
