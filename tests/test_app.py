@@ -262,3 +262,96 @@ def test_post_header_and_body_limits(server):
                b"Content-Type: application/json\r\n"
                b"Content-Length: 10000000\r\n\r\n")
     assert resp.split(b"\r\n", 1)[0].split()[1] == b"413"
+
+
+def test_worker_dynamic_batching_coalesces_concurrent_requests():
+    """Concurrent simple requests run as ONE batched synthesize call (one
+    fused-program dispatch) and each requester gets its own wav; long-text
+    requests drained alongside still execute after the batch."""
+    import time
+
+    fake = FakeSynth()
+    worker = app_module.SynthWorker(fake, max_batch=4)
+    results = {}
+
+    def client(i, text):
+        results[i] = worker.submit(text, i % 2, timeout=30.0)
+
+    long_text = "가나다라 마바사아 " * 40  # routes through synthesize_long
+    threads = [threading.Thread(target=client, args=(i, f"짧은 문장 {i}"))
+               for i in range(3)]
+    threads.append(threading.Thread(target=client, args=(3, long_text)))
+    for t in threads:
+        t.start()
+    # wait until all four are queued so the drain sees them all
+    deadline = 5.0
+    while worker.jobs.qsize() < 4 and deadline > 0:
+        time.sleep(0.01)
+        deadline -= 0.01
+    assert worker.jobs.qsize() == 4
+    worker.run_once()
+    for t in threads:
+        t.join(10)
+    assert fake.calls == 1                    # 3 simples -> one call
+    assert worker.batched_calls == 1
+    assert getattr(fake, "long_calls", 0) == 1  # drained job still ran
+    for i in range(3):
+        assert len(results[i]["wavs"]) == 1
+    assert len(results[3]["wavs"]) == 1
+
+
+def test_worker_max_batch_1_preserves_per_request_calls():
+    """max_batch=1 (coalescing off) keeps the original one-call-per-request
+    behavior."""
+    import time
+
+    fake = FakeSynth()
+    worker = app_module.SynthWorker(fake, max_batch=1)
+    results = {}
+
+    def client(i):
+        results[i] = worker.submit(f"문장 {i}", 0, timeout=30.0)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    deadline = 5.0
+    while worker.jobs.qsize() < 2 and deadline > 0:
+        time.sleep(0.01)
+        deadline -= 0.01
+    worker.run_once()
+    worker.run_once()
+    for t in threads:
+        t.join(10)
+    assert fake.calls == 2
+    assert worker.batched_calls == 0
+    assert all(len(results[i]["wavs"]) == 1 for i in range(2))
+
+
+def test_worker_batch_error_reaches_every_requester():
+    """A failing batched decode surfaces the SAME error to every coalesced
+    requester instead of hanging any of them."""
+    import time
+
+    fake = FakeSynth(fail=True)
+    worker = app_module.SynthWorker(fake, max_batch=4)
+    errors = {}
+
+    def client(i):
+        try:
+            worker.submit(f"문장 {i}", 0, timeout=30.0)
+        except Exception as e:
+            errors[i] = e
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    deadline = 5.0
+    while worker.jobs.qsize() < 3 and deadline > 0:
+        time.sleep(0.01)
+        deadline -= 0.01
+    worker.run_once()
+    for t in threads:
+        t.join(10)
+    assert len(errors) == 3
+    assert all("synthetic failure" in str(e) for e in errors.values())
