@@ -55,6 +55,15 @@ class SynthWorker:
     their own batches internally).  ``max_batch=1`` disables coalescing.
     The default 4 matches ``--prewarm``'s compiled batch rungs (1/2/4), so
     coalesced bursts never pay XLA compile latency.
+
+    No artificial batching window is added: a lone idle request runs
+    immediately at batch-1 latency, and coalescing emerges under load
+    because requests that arrive while the worker is busy accumulate in
+    the queue and are drained together on the next round (continuous
+    batching).  Trade-off: coalesced texts share one (token-bucket,
+    steps) shape — a short text grouped with a long one pays the longer
+    decode — which under load is still far cheaper than waiting out a
+    serial queue.
     """
 
     def __init__(self, synth: Synthesizer, fast_vocoder: bool = True,
