@@ -434,7 +434,18 @@ def main() -> None:
     pf_wav_time, _, _ = _timed(run_wav_pf, reps=3, warmup=1)
     pf_spec_ms = pf_spec_time / FRESH * 1e3
     pf_wav_ms = pf_wav_time / FRESH * 1e3
-    live_frames_per_s = NB * T_OUT / (pf_wav_ms / 1e3)
+
+    # The LIVE number must match what `python train.py` actually runs on
+    # THIS backend: the driver auto-resolves prefetch depth (0 on tunneled
+    # transports where deferred wire moves defeat client-side overlap,
+    # 2 on DMA-capable hosts) — so the live loop is the synchronous
+    # fresh-batch chain when the resolved depth is 0, and the pipelined
+    # chain otherwise.  The depth-2 figure is always reported separately
+    # as training_pipelined_* for the A/B record.
+    from tacotron_tpu.train.driver import resolve_prefetch_depth
+    live_depth = resolve_prefetch_depth()
+    live_wav_ms = fresh_wav_ms if live_depth == 0 else pf_wav_ms
+    live_frames_per_s = NB * T_OUT / (live_wav_ms / 1e3)
 
     # ---- roofline accounting for the Griffin-Lim spectral step (the
     # dominant synthesis cost): the default "matmul_half" engine's DIF
@@ -572,27 +583,33 @@ def main() -> None:
                 "precomputed f32 spectrogram targets vs int16 waveforms + "
                 "on-device feature extraction "
                 "(TrainConfig.on_device_features, 7.4x fewer bytes)",
-            "training_live_step_ms": round(pf_wav_ms, 2),
+            "training_live_step_ms": round(live_wav_ms, 2),
             "training_live_frames_per_s_per_chip": round(live_frames_per_s,
                                                          1),
-            "training_live_spectrogram_step_ms": round(pf_spec_ms, 2),
+            "training_live_prefetch_depth": int(live_depth),
             "training_live_note":
                 "WHAT `python train.py` ACHIEVES per step: fresh batch "
-                "every step through the driver's default prefetch-to-"
-                "device pipeline (depth 2) with the waveform wire. "
-                "CAVEAT, measured (docs/PERF.md 'Prefetch on the "
-                "tunneled link'): on THIS tunneled backend device_put "
+                "every step with the waveform wire at the prefetch depth "
+                "the driver AUTO-RESOLVES for this backend "
+                "(training_live_prefetch_depth; 0 = synchronous on "
+                "tunneled transports, 2 = pipelined on DMA-capable "
+                "hosts). The resident-batch "
+                "training_frames_per_s_per_chip is the compute-only "
+                "ceiling, not the live loop.",
+            "training_pipelined_step_ms": round(pf_wav_ms, 2),
+            "training_pipelined_spectrogram_step_ms": round(pf_spec_ms, 2),
+            "training_pipelined_note":
+                "the depth-2 prefetch pipeline measured unconditionally "
+                "for the A/B record. On THIS tunneled backend device_put "
                 "defers the actual wire move into the consuming step "
                 "(dispatch+block_until_ready ~2 ms for 1.8 MB that then "
                 "costs ~74 ms inside the step), so client-side overlap "
                 "cannot materialize and the producer thread's extra RPC "
                 "traffic makes the pipelined loop SLOWER than the "
-                "synchronous one here (paired A/B median 154 vs 86 "
-                "ms/step); pass --prefetch_depth 0 on tunneled dev "
-                "links. On production hosts where device_put starts a "
-                "real async DMA, depth 2 gives ~max(transfer, compute). "
-                "The resident-batch training_frames_per_s_per_chip is "
-                "the compute-only ceiling, not the live loop.",
+                "synchronous one (docs/PERF.md 'Prefetch on the tunneled "
+                "link'); the driver therefore auto-resolves depth 0 "
+                "here. On production hosts where device_put starts a "
+                "real async DMA, depth 2 gives ~max(transfer, compute).",
             "training_mfu_pct": round(train_mfu_pct, 2),
             "training_bf16_mfu_pct": round(bf16_mfu_pct, 2),
             "training_total_gflops_per_step": round(
