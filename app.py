@@ -143,8 +143,14 @@ class SynthWorker:
             for i, (_, _, _, box, _) in enumerate(simples):
                 box["result"] = {"wavs": [res["wavs"][i]]}
         except Exception as e:
+            # one exception per requester: up to max_batch HTTP handler
+            # threads re-raise concurrently, and raising the SAME instance
+            # from several threads mutates its shared __traceback__ — each
+            # box gets its own wrapper with the original as __cause__
             for _, _, _, box, _ in simples:
-                box["error"] = e
+                err = RuntimeError(f"batched synthesis failed: {e}")
+                err.__cause__ = e
+                box["error"] = err
         finally:
             for _, _, _, _, done in simples:
                 done.set()

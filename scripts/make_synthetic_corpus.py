@@ -155,6 +155,10 @@ def ensure_corpus(work: str, utterances: int = 96, batch_size: int = 8,
         with open(marker) as fh:
             have = json.load(fh)
     if have != want:
+        if os.path.exists(corpus):
+            print(f"[*] rebuilding corpus at {corpus}: parameter marker "
+                  f"{'mismatched' if have is not None else 'missing'} "
+                  f"(have={have}, want={want})")
         shutil.rmtree(corpus, ignore_errors=True)
         subprocess.run(
             [sys.executable, os.path.abspath(__file__), corpus,

@@ -65,8 +65,12 @@ class DevicePrefetcher:
         Blocks indefinitely by default — matching the synchronous
         ``feeder.get()`` loop this pipeline replaces, where a slow (but
         healthy) feeder simply stalls the step rather than killing the
-        run.  Pass ``timeout`` (seconds) to bound the wait instead.
+        run.  Pass ``timeout`` (seconds) to bound the wait instead.  An
+        unbounded wait is not a silent one: after every 60 s of idling a
+        diagnostic line is logged so a wedged (not merely slow) feeder is
+        visible in an unattended run's log instead of looking like a hang.
         """
+        waited = 0.0
         while True:
             try:
                 return self._queue.get(timeout=0.5)
@@ -81,6 +85,11 @@ class DevicePrefetcher:
                     if self._error is not None:
                         raise self._error
                     raise RuntimeError("prefetch producer exited")
+                waited += 0.5
+                if waited % 60.0 < 0.25:  # once per minute of waiting
+                    from ..utils import log
+                    log(f"prefetcher idle {waited:.0f}s — feeder slow or "
+                        f"stalled (producer thread alive, queue empty)")
                 if timeout is not None:
                     timeout -= 0.5
                     if timeout <= 0:

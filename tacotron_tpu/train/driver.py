@@ -27,21 +27,99 @@ from .state import TrainState, create_train_state
 from .step import Batch, make_eval_step, make_train_step
 
 
-def resolve_prefetch_depth(platform_version: Optional[str] = None) -> int:
+#: transports whose ``device_put`` is known to DEFER the wire move into the
+#: consuming computation (prefetch cannot overlap; measured 1.8x slower)
+_KNOWN_DEFERRED_TRANSPORTS = ("axon",)
+#: backends whose ``device_put`` is known to start a real async copy/DMA
+_KNOWN_DIRECT_BACKENDS = ("libtpu", "tfrt", "cuda", "rocm", "cpu",
+                          "interpreter")
+
+
+def probe_transfer_deferred(device=None, mib: int = 8,
+                            trials: int = 3) -> bool:
+    """Measure whether this backend's ``device_put`` defers the H2D wire
+    move into the consuming computation (the axon-tunnel pathology that
+    makes client-side prefetch counterproductive, docs/PERF.md).
+
+    Protocol: ``device_put`` an ``mib``-MiB array and block on the PUT,
+    then time a trivial jitted consume of the already-"resident" buffer.
+    On a direct backend the blocked put paid the transfer, so the consume
+    is compute-only (microseconds); on a deferring transport the put+block
+    is nearly free and the consume still pays the wire move.  Deferred iff
+    the median consume costs more than the median blocked put.  If both
+    are under 1 ms the transfer is trivially cheap either way and the
+    answer is 'direct' (prefetch can neither help nor hurt).  Runs in
+    well under a second after the one-off jit compile.
+    """
+    import numpy as np
+
+    dev = device if device is not None else jax.devices()[0]
+    n = mib * (1 << 20) // 4
+
+    def _consume(a):
+        return a.ravel()[::4096].sum()  # touch the buffer, trivial FLOPs
+
+    consume = jax.jit(_consume)
+    # warm up the compile (and the transport) outside the timed region
+    w = jax.device_put(np.zeros(n, np.float32), dev)
+    jax.block_until_ready(consume(w))
+    del w
+
+    puts, consumes = [], []
+    for trial in range(trials):
+        # a fresh buffer each trial so no transport-level caching applies
+        x = np.full(n, float(trial + 1), np.float32)
+        t0 = time.perf_counter()
+        y = jax.device_put(x, dev)
+        jax.block_until_ready(y)
+        t1 = time.perf_counter()
+        jax.block_until_ready(consume(y))
+        t2 = time.perf_counter()
+        puts.append(t1 - t0)
+        consumes.append(t2 - t1)
+        del y
+    put_s = float(np.median(puts))
+    consume_s = float(np.median(consumes))
+    if put_s + consume_s < 1e-3:
+        return False
+    return consume_s > put_s
+
+
+def resolve_prefetch_depth(platform_version: Optional[str] = None,
+                           probe=None) -> int:
     """The measured default for ``train(prefetch_depth=None)``.
 
-    0 on the tunneled dev transport (axon): it DEFERS the H2D wire move
-    into the consuming step, so a producer thread cannot overlap anything
+    0 on transports that DEFER the H2D wire move into the consuming step
+    (the axon dev tunnel): there a producer thread cannot overlap anything
     and its extra RPC traffic makes the loop ~1.8x slower (paired A/B in
     docs/PERF.md, 'Prefetch on the tunneled link').  2 on direct backends,
     where ``jax.device_put`` starts a real async DMA and depth 2 yields
-    ~max(transfer, compute).  The tunnel registers as platform ``tpu``;
-    its ``platform_version`` string is the discriminator.
+    ~max(transfer, compute).
+
+    Resolution order: known transport names are a fast path (axon -> 0;
+    libtpu/tfrt/cuda/rocm/cpu -> 2); an UNRECOGNIZED ``platform_version``
+    falls back to :func:`probe_transfer_deferred` — a sub-second startup
+    measurement — so a future tunneled transport with a different name
+    gets the correct depth by measurement, not by string luck.  ``probe``
+    injects the measurement for tests.  ``train(prefetch_depth=...)``
+    remains the explicit override.
     """
     if platform_version is None:
         platform_version = getattr(jax.devices()[0].client,
                                    "platform_version", "")
-    return 0 if "axon" in platform_version.lower() else 2
+        # the forced-CPU test platform reports an uninformative version
+        # string; the device's own platform name is authoritative there
+        if jax.devices()[0].platform == "cpu":
+            platform_version += " cpu"
+    pv = (platform_version or "").lower()
+    if any(k in pv for k in _KNOWN_DEFERRED_TRANSPORTS):
+        return 0
+    if any(k in pv for k in _KNOWN_DIRECT_BACKENDS):
+        return 2
+    deferred = (probe if probe is not None else probe_transfer_deferred)()
+    log(f"prefetch depth: unrecognized backend {platform_version!r}; "
+        f"measured transfer deferral = {deferred}")
+    return 0 if deferred else 2
 
 
 class DivergenceError(RuntimeError):

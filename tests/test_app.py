@@ -280,10 +280,19 @@ def test_worker_dynamic_batching_coalesces_concurrent_requests():
     long_text = "가나다라 마바사아 " * 40  # routes through synthesize_long
     threads = [threading.Thread(target=client, args=(i, f"짧은 문장 {i}"))
                for i in range(3)]
-    threads.append(threading.Thread(target=client, args=(3, long_text)))
+    # enqueue deterministically: the three simple requests must be queued
+    # BEFORE the long-text job, otherwise the ('job', ...) tuple can land
+    # at the queue head and run_once would execute only it (the simples
+    # would still be blocked, fake.calls == 0 — a race, not a batch)
     for t in threads:
         t.start()
-    # wait until all four are queued so the drain sees them all
+    deadline = 5.0
+    while worker.jobs.qsize() < 3 and deadline > 0:
+        time.sleep(0.01)
+        deadline -= 0.01
+    assert worker.jobs.qsize() == 3
+    threads.append(threading.Thread(target=client, args=(3, long_text)))
+    threads[-1].start()
     deadline = 5.0
     while worker.jobs.qsize() < 4 and deadline > 0:
         time.sleep(0.01)

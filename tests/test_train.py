@@ -319,4 +319,30 @@ def test_prefetch_depth_auto_resolution():
     assert resolve_prefetch_depth(
         "PJRT C API\naxon 0.1.0; SerializedExecutable v9") == 0
     assert resolve_prefetch_depth("TFRT TPU v5 lite") == 2
-    assert resolve_prefetch_depth("") == 2
+
+
+def test_resolve_prefetch_depth_probes_unrecognized_backends():
+    """An UNRECOGNIZED platform_version resolves by MEASUREMENT (the
+    probe), not by name — a future tunneled transport with a different
+    name must not silently reintroduce the 1.8x prefetch regression."""
+    from tacotron_tpu.train.driver import (probe_transfer_deferred,
+                                           resolve_prefetch_depth)
+
+    probed = []
+
+    def probe_deferred():
+        probed.append(True)
+        return True
+
+    assert resolve_prefetch_depth("sometunnel 1.0",
+                                  probe=probe_deferred) == 0
+    assert probed == [True]
+    assert resolve_prefetch_depth("sometunnel 1.0",
+                                  probe=lambda: False) == 2
+    # known names never probe
+    assert resolve_prefetch_depth("TFRT TPU v5 lite",
+                                  probe=lambda: 1 / 0) == 2
+    assert resolve_prefetch_depth("axon 0.1.0", probe=lambda: 1 / 0) == 0
+    # the real probe on this CPU backend: device_put pays the copy up
+    # front, so the consume-after-blocked-put must be cheap -> direct
+    assert probe_transfer_deferred(mib=4, trials=3) is False
