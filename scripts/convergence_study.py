@@ -55,25 +55,33 @@ def dominant_hz(wav: np.ndarray, sr: int) -> float:
 
 
 def token_tone_accuracy(wav: np.ndarray, text: str, speaker: int,
-                        sr: int) -> dict:
+                        sr: int, variable_rate: bool = False) -> dict:
     """The conclusive alignment check on HELD-OUT text: the melody corpus
-    maps token k to a tone at a known frequency in a known 50 ms slot, so
-    if the synthesized wav reproduces each token's frequency in each
-    token's slot, the decoder attended the right token at the right time —
+    maps token k to a tone at a known frequency in a known slot, so if
+    the synthesized wav reproduces each token's frequency in each token's
+    slot, the decoder attended the right token at the right time —
     regardless of how soft the attention matrix is.  Measures the dominant
-    frequency of the central 30 ms of every voiced token slot (zero-padded
+    frequency of the interior of every voiced token slot (zero-padded
     FFT) and CLASSIFIES it against the speaker's 24-tone table (nearest
     tone in log-frequency): correct iff the nearest tone is the expected
     token's.  Tones are FFT-bin-aligned 2 bins apart, so the decision is
-    robust to the model's intrinsic ±1-bin spectral quantization."""
+    robust to the model's intrinsic ±1-bin spectral quantization.
+
+    ``variable_rate`` evaluates against the ``melody_var`` corpus's
+    non-uniform ground truth (token k lasting 1-3 decoder steps,
+    ``make_synthetic_corpus.token_duration_steps``): slot boundaries are
+    the cumulative per-token durations, so a model that advances one
+    token per step regardless of duration — uniform-rate behavior — reads
+    the WRONG token in most slots and scores near chance here."""
     from tacotron_tpu.text import text_to_sequence
     from tacotron_tpu.text.symbols import EOS_ID, PAD_ID, char_to_id
-    from make_synthetic_corpus import (TOKEN_SECONDS, TONES_PER_SPEAKER,
+    from make_synthetic_corpus import (TONES_PER_SPEAKER,
                                        _BAND_ORIGIN_BIN, _BAND_STRIDE_BIN,
-                                       _TONE_STRIDE_BIN, token_frequency)
+                                       _TONE_STRIDE_BIN, token_frequency,
+                                       token_slot_bounds)
 
     tokens = text_to_sequence(text, ["korean_cleaners"])
-    seg = int(round(TOKEN_SECONDS * sr))
+    bounds = token_slot_bounds(tokens, sr, variable_rate)
     space = char_to_id[" "]
     pad = int(0.01 * sr)  # skip the 5 ms fades + GL boundary smear
     # the speaker's full tone table, for nearest-tone classification
@@ -82,10 +90,10 @@ def token_tone_accuracy(wav: np.ndarray, text: str, speaker: int,
                         for p in range(TONES_PER_SPEAKER)])
     hits, total = 0, 0
     details = []
-    for k, tok in enumerate(tokens):
+    for (tok, (slot_lo, slot_hi)) in zip(tokens, bounds):
         if tok in (PAD_ID, EOS_ID, space):
             continue
-        lo, hi = k * seg + pad, (k + 1) * seg - pad
+        lo, hi = slot_lo + pad, slot_hi - pad
         if hi > len(wav):
             break
         chunk = np.asarray(wav[lo:hi], np.float64)
@@ -136,6 +144,12 @@ def main() -> None:
     parser.add_argument("--artifacts", default=None,
                         help="directory for loss/alignment PNGs + report")
     parser.add_argument("--dump_every", type=int, default=500)
+    parser.add_argument("--style", choices=["melody", "melody_var"],
+                        default="melody",
+                        help="melody = uniform one-step-per-token ground "
+                             "truth; melody_var = 1-3 decoder steps per "
+                             "token (non-uniform alignment slope — the "
+                             "regime real speech trains in)")
     parser.add_argument("--attention", default="bah_mon",
                         help="attention_type for the trained model "
                              "(bah_mon = reference default)")
@@ -149,7 +163,8 @@ def main() -> None:
 
     os.makedirs(args.work, exist_ok=True)
     data_dirs = ensure_corpus(args.work, args.utterances,
-                              args.batch_size)
+                              args.batch_size, style=args.style)
+    variable_rate = args.style == "melody_var"
     corpus = os.path.join(args.work, "corpus")
     heldout = json.load(open(os.path.join(corpus, "heldout.json")))
 
@@ -205,7 +220,8 @@ def main() -> None:
             "band_hz": [lo, hi], "peaks_hz": peaks,
             "in_band_rate": float(np.mean(in_band)),
         }
-        accs = [token_tone_accuracy(w, t, spk, sr)
+        accs = [token_tone_accuracy(w, t, spk, sr,
+                                    variable_rate=variable_rate)
                 for w, t in zip(res["wavs"], heldout)]
         tone_results[str(spk)] = {
             "mean_accuracy": float(np.mean([a["accuracy"] for a in accs])),
@@ -230,6 +246,7 @@ def main() -> None:
     payload = {
         "steps": steps_done, "train_seconds": train_s,
         "attention_type": args.attention,
+        "corpus_style": args.style,
         "config": {"batch_size": cfg.train.batch_size,
                    "compute_dtype": cfg.model.compute_dtype,
                    "on_device_features": cfg.train.on_device_features,
@@ -249,8 +266,12 @@ def main() -> None:
     lines = [
         "# Convergence demonstration",
         "",
-        f"Full-size deepvoice 2-speaker model, melody corpus "
-        f"({args.utterances} utts/speaker, held-out eval sentences), "
+        f"Full-size deepvoice 2-speaker model, {args.style} corpus "
+        + ("(VARIABLE-RATE ground truth: each token lasts 1-3 decoder "
+           "steps by token id, so the true alignment has non-uniform "
+           "slope — the regime real speech trains in) "
+           if variable_rate else "")
+        + f"({args.utterances} utts/speaker, held-out eval sentences), "
         f"TPU preset (bf16, unroll 8, on-device features, "
         f"B={cfg.train.batch_size}), default Noam schedule; "
         f"device: {jax.devices()[0]}.",
@@ -336,7 +357,8 @@ def main() -> None:
         "- `convergence_report.json` — the full machine-readable report",
         "",
         f"Reproduce: `python scripts/convergence_study.py --steps "
-        f"{args.steps} --batch_size {args.batch_size}`.",
+        f"{args.steps} --batch_size {args.batch_size} "
+        f"--style {args.style}`.",
     ]
     md = "\n".join(lines) + "\n"
     out = args.out or os.path.join(art, "CONVERGENCE.md")

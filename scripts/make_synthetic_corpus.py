@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Generate a synthetic multi-speaker Korean corpus + run config.
 
-Two corpus styles:
+Three corpus styles:
 
 - ``melody`` (default): each frontend token of the cleaned text becomes a
   50 ms tone segment (4 frames = exactly one decoder step at r=4) whose
@@ -12,6 +12,17 @@ Two corpus styles:
   corpus can demonstrate the diagonal forming (docs/CONVERGENCE.md), and
   disjoint per-speaker bands make speaker identity measurable in
   synthesized audio.
+- ``melody_var``: like ``melody`` but each token lasts 1–3 decoder steps
+  (:func:`token_duration_steps`, deterministic from the token id so
+  held-out eval reconstructs slot boundaries with no side-channel
+  metadata).  The ground-truth alignment therefore has NON-UNIFORM slope
+  — attention must hold on a token for up to 3 steps, then advance —
+  which is the regime real speech trains in (variable phone durations;
+  the reference admits 120–796-frame utterances against >=50 tokens,
+  ``/root/reference/datasets/datafeeder.py:97-98``) and the part of
+  Tacotron attention that actually fails in practice.  The uniform
+  ``melody`` corpus cannot exercise it: there the true alignment is a
+  constant-slope diagonal.
 - ``sine``: per-utterance stationary sine with per-speaker f0 — the
   round-1..3 corpus, kept for step-time studies where audio content does
   not matter.
@@ -85,6 +96,38 @@ _TONE_STRIDE_BIN = 2    # adjacent tones 2 bins apart
 
 _SPACE_ID = char_to_id[" "]
 
+#: duration range (decoder steps) for the variable-rate corpus
+VAR_MIN_STEPS, VAR_MAX_STEPS = 1, 3
+
+
+def token_duration_steps(token_id: int) -> int:
+    """Decoder steps (r=4 frame groups, 50 ms each) token ``token_id``
+    occupies in the ``melody_var`` corpus: 1, 2, or 3 — a pure function
+    of the token id, so the expected slot boundaries of any (held-out)
+    sentence are computable at eval time from its text alone.  The *11
+    multiplier decorrelates duration from the *7-strided tone position
+    (:func:`token_frequency`): neighbors in id space get unrelated
+    (tone, duration) pairs."""
+    return VAR_MIN_STEPS + (token_id * 11) % (VAR_MAX_STEPS
+                                              - VAR_MIN_STEPS + 1)
+
+
+def token_slot_bounds(tokens, sr: int, variable_rate: bool,
+                      tok_seconds: float = TOKEN_SECONDS) -> list:
+    """Ground-truth ``[start_sample, end_sample)`` per token — the time
+    axis of the true alignment.  Uniform style: every token one
+    ``tok_seconds`` slot; variable style: :func:`token_duration_steps`
+    slots.  Shared by :func:`melody_wav` (synthesis) and the convergence
+    study's tone-accuracy instrument (measurement), so the two can never
+    disagree about where a token's audio lives."""
+    base = int(round(tok_seconds * sr))
+    bounds, pos = [], 0
+    for tok in tokens:
+        steps = token_duration_steps(int(tok)) if variable_rate else 1
+        bounds.append((pos, pos + steps * base))
+        pos += steps * base
+    return bounds
+
 
 def token_frequency(token_id: int, speaker: int,
                     sample_rate: int = 24000) -> float:
@@ -111,24 +154,32 @@ def speaker_band_hz(speaker: int, sample_rate: int = 24000) -> tuple:
 
 
 def melody_wav(tokens, speaker: int, sr: int,
-               tok_seconds: float = TOKEN_SECONDS) -> np.ndarray:
+               tok_seconds: float = TOKEN_SECONDS,
+               variable_rate: bool = False) -> np.ndarray:
     """Token sequence -> waveform: one enveloped tone segment per token,
-    silence for space/PAD/EOS."""
-    seg = int(round(tok_seconds * sr))
-    t = np.arange(seg) / sr
+    silence for space/PAD/EOS.  ``variable_rate`` holds each tone for its
+    :func:`token_duration_steps` slot (1-3 decoder steps) instead of a
+    uniform one."""
     fade = max(1, int(0.005 * sr))  # 5 ms raised-cosine edges, no clicks
-    env = np.ones(seg)
     ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(fade) / fade)
-    env[:fade] *= ramp
-    env[-fade:] *= ramp[::-1]
+
+    def envelope(seg: int) -> np.ndarray:
+        env = np.ones(seg)
+        env[:fade] *= ramp
+        env[-fade:] *= ramp[::-1]
+        return env
+
+    bounds = token_slot_bounds(tokens, sr, variable_rate, tok_seconds)
     parts = []
-    for tok in tokens:
+    for tok, (lo, hi) in zip(tokens, bounds):
+        seg = hi - lo
         if tok in (PAD_ID, EOS_ID, _SPACE_ID):
             parts.append(np.zeros(seg, np.float32))
             continue
         f = token_frequency(int(tok), speaker, sr)
+        t = np.arange(seg) / sr
         parts.append((0.45 * np.sin(2 * np.pi * f * t)
-                      * env).astype(np.float32))
+                      * envelope(seg)).astype(np.float32))
     return np.concatenate(parts)
 
 
@@ -182,7 +233,8 @@ def ensure_corpus(work: str, utterances: int = 96, batch_size: int = 8,
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("out_dir")
-    parser.add_argument("--style", choices=["melody", "sine"],
+    parser.add_argument("--style",
+                        choices=["melody", "melody_var", "sine"],
                         default="melody")
     parser.add_argument("--speakers", type=int, default=2)
     parser.add_argument("--utterances", type=int, default=24)
@@ -201,7 +253,7 @@ def main() -> None:
     cleaners = list(cfg.data.cleaner_names())
 
     train_texts, heldout = TEXTS, []
-    if args.style == "melody":
+    if args.style.startswith("melody"):
         pool = sentence_pool()
         if args.heldout:
             heldout = pool[-args.heldout:]
@@ -214,9 +266,11 @@ def main() -> None:
         lines = []
         for i in range(args.utterances):
             text = train_texts[i % len(train_texts)]
-            if args.style == "melody":
+            if args.style.startswith("melody"):
                 tokens = text_to_sequence(text, cleaners)
-                wav = melody_wav(tokens, spk, sr)
+                wav = melody_wav(
+                    tokens, spk, sr,
+                    variable_rate=args.style == "melody_var")
             else:
                 dur = 1.0 + 0.08 * (i % 12)
                 t = np.arange(int(dur * sr)) / sr

@@ -378,6 +378,80 @@ def test_melody_corpus_tone_instrument_self_consistency():
     assert abs(f / (24000 / 2048.0) - round(f / (24000 / 2048.0))) < 1e-9
 
 
+def test_melody_var_corpus_instrument_and_discriminance():
+    """The VARIABLE-RATE corpus's measurement instrument, validated two
+    ways against ground truth: (a) a melody_var wav read with the
+    variable-rate slot bounds scores 100% — synthesis and measurement
+    share token_slot_bounds, so they can never disagree; (b) the SAME wav
+    read with the uniform-rate bounds scores far below — i.e. the
+    instrument genuinely discriminates non-uniform alignment, so a model
+    that advanced one token per step regardless of duration could not
+    score well on the melody_var study."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    from convergence_study import token_tone_accuracy
+    from make_synthetic_corpus import (VAR_MAX_STEPS, VAR_MIN_STEPS,
+                                       melody_wav, token_duration_steps,
+                                       token_slot_bounds)
+    from tacotron_tpu.text import text_to_sequence
+
+    # durations: deterministic, in range, and genuinely varied over the
+    # jamo id range (a constant function would be the uniform corpus)
+    durs = [token_duration_steps(i) for i in range(80)]
+    assert all(VAR_MIN_STEPS <= d <= VAR_MAX_STEPS for d in durs)
+    assert len(set(durs)) == VAR_MAX_STEPS - VAR_MIN_STEPS + 1
+
+    text = "오늘은 아침에 노래를 불러요"
+    tokens = text_to_sequence(text, ["korean_cleaners"])
+    # the sentence itself must exercise several durations
+    assert len({token_duration_steps(int(t)) for t in tokens}) >= 2
+
+    sr = 24000
+    for spk in (0, 1):
+        wav = melody_wav(tokens, spk, sr, variable_rate=True)
+        bounds = token_slot_bounds(tokens, sr, True)
+        assert len(wav) == bounds[-1][1]  # slots tile the wav exactly
+        var_acc = token_tone_accuracy(wav, text, spk, sr,
+                                      variable_rate=True)
+        assert var_acc["accuracy"] == 1.0 and var_acc["n_segments"] > 10
+        uni_acc = token_tone_accuracy(wav, text, spk, sr,
+                                      variable_rate=False)
+        assert uni_acc["accuracy"] < 0.6, uni_acc
+
+
+def test_melody_var_fits_serving_step_budget():
+    """Re-validation of the serving steps_per_token=4.0 decode budget
+    (synth/synthesizer.py) against the variable-rate corpus: its worst
+    case — every token at VAR_MAX_STEPS decoder steps — is exactly what
+    the budget must cover, for every sentence in the melody pool plus
+    the fixed TEXTS."""
+    import math
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    from make_synthetic_corpus import (TEXTS, sentence_pool,
+                                       token_duration_steps)
+    from tacotron_tpu.synth.synthesizer import (STEPS_PER_TOKEN,
+                                                adaptive_max_steps)
+    from tacotron_tpu.text import text_to_sequence
+
+    for text in sentence_pool() + TEXTS:
+        tokens = text_to_sequence(text, ["korean_cleaners"])
+        true_steps = sum(token_duration_steps(int(t)) for t in tokens)
+        budget = adaptive_max_steps(len(tokens), min_iters=1,
+                                    max_iters=200)
+        assert true_steps <= budget, (text, true_steps, budget)
+        # and the margin is structural, not luck: worst-case duration
+        # never exceeds the per-token budget rate
+        assert STEPS_PER_TOKEN >= 3
+        assert true_steps <= math.ceil(STEPS_PER_TOKEN * len(tokens))
+
+
 def test_mulaw_quality_lsd_floor():
     """scripts/mulaw_quality.py's LSD: identical signals score 0; with the
     -60 dB dynamic-range floor the metric ignores quantization noise in
