@@ -306,7 +306,11 @@ def main() -> None:
         "classic `attention ok` gate (focus >= 0.25, per-token max "
         ">= 0.2) under-rate it structurally; `attention ok` above "
         "therefore judges it by path coverage + monotonicity "
-        "(attention_health(soft_monotonic=True)).  The argmax path "
+        "(attention_health(soft_monotonic=True)).  Both gate families "
+        "are always present in the report JSON (`ok_sharpness`, "
+        "`ok_soft_monotonic`, and `gate` = the family `ok` used), so a "
+        "comparison across attention types can be read against one "
+        "consistent bar.  The argmax path "
         "sweeps the full diagonal and the per-token acoustics below "
         "prove the decoder reads the right token at the right time.  "
         "An equal-budget ablation with plain softmax `--attention bah` "

@@ -363,6 +363,12 @@ def attention_health(alignment: np.ndarray,
     :meth:`Synthesizer.synthesize_robust` and
     ``tools.speaker_eval`` select this automatically for ``bah_mon``
     models (a sharpness gate there would retry every healthy decode).
+
+    Because the two gate families set different bars, a cross-attention-
+    type comparison that read only ``ok`` would silently compare against
+    different standards — so BOTH verdicts are always reported
+    (``ok_sharpness``, ``ok_soft_monotonic``) along with ``gate``, the
+    family that produced ``ok``.
     """
     alignment = np.asarray(alignment, np.float32)
     coverage = float((alignment.max(axis=1)
@@ -376,14 +382,15 @@ def attention_health(alignment: np.ndarray,
     for p in np.unique(path):
         visited[max(0, p - 2):p + 3] = True
     path_coverage = float(visited.mean())
-    if soft_monotonic:
-        ok = bool(path_coverage >= min_coverage
-                  and monotonicity >= min_monotonicity)
-    else:
-        ok = bool(coverage >= min_coverage and focus >= min_focus
-                  and monotonicity >= min_monotonicity)
+    ok_soft = bool(path_coverage >= min_coverage
+                   and monotonicity >= min_monotonicity)
+    ok_sharp = bool(coverage >= min_coverage and focus >= min_focus
+                    and monotonicity >= min_monotonicity)
     return {
-        "ok": ok,
+        "ok": ok_soft if soft_monotonic else ok_sharp,
+        "gate": "soft_monotonic" if soft_monotonic else "sharpness",
+        "ok_sharpness": ok_sharp,
+        "ok_soft_monotonic": ok_soft,
         "coverage": coverage,
         "focus": focus,
         "monotonicity": monotonicity,

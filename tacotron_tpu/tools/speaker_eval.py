@@ -73,9 +73,16 @@ def _aggregate(utts: List[Dict]) -> Dict[str, float]:
 
     n = len(utts)
     ok = sum(1 for u in utts if u["attention"]["ok"])
+    # both gate families, so cross-attention-type comparisons are read
+    # against the SAME bar (ok_rate alone follows the per-type gate)
+    ok_sharp = sum(1 for u in utts if u["attention"]["ok_sharpness"])
+    ok_soft = sum(1 for u in utts if u["attention"]["ok_soft_monotonic"])
     return {
         "num_utterances": n,
         "attention_ok_rate": ok / n if n else 0.0,
+        "attention_gate": (utts[0]["attention"]["gate"] if n else ""),
+        "attention_ok_rate_sharpness": ok_sharp / n if n else 0.0,
+        "attention_ok_rate_soft_monotonic": ok_soft / n if n else 0.0,
         "mean_coverage": mean(("attention", "coverage")),
         "mean_focus": mean(("attention", "focus")),
         "mean_monotonicity": mean(("attention", "monotonicity")),
@@ -156,8 +163,13 @@ def evaluate_speakers(synth: Synthesizer,
         rate = [a["mean_seconds_per_token"] for a in aggs]
         report["cross_speaker"] = {
             "num_speakers": len(aggs),
+            "attention_gate": aggs[0]["attention_gate"],
             "worst_attention_ok_rate": min(a["attention_ok_rate"]
                                            for a in aggs),
+            "worst_attention_ok_rate_sharpness": min(
+                a["attention_ok_rate_sharpness"] for a in aggs),
+            "worst_attention_ok_rate_soft_monotonic": min(
+                a["attention_ok_rate_soft_monotonic"] for a in aggs),
             "worst_path_coverage": min(a["mean_path_coverage"]
                                        for a in aggs),
             "rms_spread_ratio": (max(rms) / max(min(rms), 1e-10)),

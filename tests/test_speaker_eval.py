@@ -44,14 +44,27 @@ def test_evaluate_speakers_report():
         assert len(rec["utterances"]) == 2
         u = rec["utterances"][0]
         assert {"text", "num_tokens", "attention", "audio"} <= u.keys()
-        assert {"ok", "coverage", "focus", "monotonicity"} <= \
+        assert {"ok", "gate", "ok_sharpness", "ok_soft_monotonic",
+                "coverage", "focus", "monotonicity"} <= \
             u["attention"].keys()
+        # default attention is bah_mon -> the soft-monotonic gate rules,
+        # and the verdict it produced is the one `ok` reports
+        assert u["attention"]["gate"] == "soft_monotonic"
+        assert u["attention"]["ok"] == u["attention"]["ok_soft_monotonic"]
         assert u["audio"]["duration_s"] > 0
         agg = rec["aggregate"]
         assert 0.0 <= agg["attention_ok_rate"] <= 1.0
+        assert agg["attention_gate"] == "soft_monotonic"
+        assert 0.0 <= agg["attention_ok_rate_sharpness"] <= 1.0
+        assert 0.0 <= agg["attention_ok_rate_soft_monotonic"] <= 1.0
+        assert agg["attention_ok_rate"] == \
+            agg["attention_ok_rate_soft_monotonic"]
         assert agg["mean_seconds_per_token"] > 0
     cross = report["cross_speaker"]
     assert cross["num_speakers"] == 2
+    assert cross["attention_gate"] == "soft_monotonic"
+    assert {"worst_attention_ok_rate_sharpness",
+            "worst_attention_ok_rate_soft_monotonic"} <= cross.keys()
     assert cross["rms_spread_ratio"] >= 1.0
     assert cross["seconds_per_token_spread_ratio"] >= 1.0
     # the whole report is JSON-serializable (the CLI writes it verbatim)
