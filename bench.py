@@ -447,6 +447,53 @@ def main() -> None:
     live_wav_ms = fresh_wav_ms if live_depth == 0 else pf_wav_ms
     live_frames_per_s = NB * T_OUT / (live_wav_ms / 1e3)
 
+    # ---- the SHIPPED preset (train.py --preset tpu = Config.tpu_recommended:
+    # B=32, bf16 compute, scan unroll 8, int16 waveform wire + on-chip
+    # feature extraction).  Everything above measures the reference-parity
+    # config (B=16, hparams.py:122) for baseline comparability; these rows
+    # measure what the framework actually tells users to run — both the
+    # resident-batch compute ceiling and the live fresh-batch loop at the
+    # driver's resolved prefetch depth.
+    PRESET_NB = 32
+    preset_cfg = Config.tpu_recommended(cfg)
+    opt_p = make_optimizer(preset_cfg.train)
+    tstep_p = make_train_step(preset_cfg)
+    state_p = create_train_state(preset_cfg, jax.random.PRNGKey(0), opt_p)
+    preset_host_batches = [
+        Batch(inputs=inputs[:PRESET_NB], input_lengths=lengths[:PRESET_NB],
+              loss_coeff=np.ones((PRESET_NB,), np.float32),
+              mel_targets=None, linear_targets=None,
+              speaker_id=np.zeros((PRESET_NB,), np.int32),
+              target_lengths=np.full((PRESET_NB,), T_OUT - 1, np.int32),
+              waveforms=rng_np.integers(
+                  -2000, 2000, (PRESET_NB, (T_OUT - 1) * hop))
+              .astype(np.int16))
+        for _ in range(4)]
+    preset_dev_batch = jax.tree.map(jnp.asarray, preset_host_batches[0])
+    pbox = [state_p]
+
+    def preset_chain():
+        s = pbox[0]
+        m = None
+        for _ in range(CHAIN):
+            s, m = tstep_p(s, preset_dev_batch, drng)
+        pbox[0] = s
+        float(m["param_norm"])
+
+    preset_chain()  # compile + warm
+    preset_time, _, _ = _timed(preset_chain, reps=5, warmup=2)
+    preset_frames_per_s = PRESET_NB * T_OUT * CHAIN / preset_time
+
+    if live_depth == 0:
+        run_preset_live = fresh_chain(preset_host_batches, tstep_p, pbox)
+    else:
+        run_preset_live = fresh_pipelined(preset_host_batches, tstep_p,
+                                          pbox)
+    run_preset_live()  # warm
+    preset_live_time, _, _ = _timed(run_preset_live, reps=3, warmup=1)
+    preset_live_ms = preset_live_time / FRESH * 1e3
+    preset_live_frames_per_s = PRESET_NB * T_OUT / (preset_live_ms / 1e3)
+
     # ---- roofline accounting for the Griffin-Lim spectral step (the
     # dominant synthesis cost): the default "matmul_half" engine's DIF
     # split-bin matmuls (dsp/chip.py::_half_dft_matrices) per iteration
@@ -472,6 +519,8 @@ def main() -> None:
     tr_model = train_step_model(train_cfg, NB, 64, T_OUT)
     train_mfu_pct = mfu(tr_model["total_flops"], chain_time / CHAIN)
     bf16_mfu_pct = mfu(tr_model["total_flops"], bf16_time / CHAIN)
+    preset_model = train_step_model(preset_cfg, PRESET_NB, 64, T_OUT)
+    preset_mfu_pct = mfu(preset_model["total_flops"], preset_time / CHAIN)
 
     result = {
         "metric": "synthesis_throughput",
@@ -610,6 +659,24 @@ def main() -> None:
                 "link'); the driver therefore auto-resolves depth 0 "
                 "here. On production hosts where device_put starts a "
                 "real async DMA, depth 2 gives ~max(transfer, compute).",
+            "training_preset_batch": PRESET_NB,
+            "training_preset_frames_per_s_per_chip": round(
+                preset_frames_per_s, 1),
+            "training_preset_step_seconds": round(preset_time / CHAIN, 4),
+            "training_preset_live_step_ms": round(preset_live_ms, 2),
+            "training_preset_live_frames_per_s_per_chip": round(
+                preset_live_frames_per_s, 1),
+            "training_preset_mfu_pct": round(preset_mfu_pct, 2),
+            "training_preset_note":
+                "Config.tpu_recommended() — the composed preset train.py "
+                "--preset tpu runs (B=32, bf16 compute, unroll 8, int16 "
+                "waveform wire + on-chip features). frames_per_s is the "
+                "resident-batch 20-step-chain ceiling; live_* is a fresh "
+                "host batch shipped every step at the driver's resolved "
+                "prefetch depth (training_live_prefetch_depth) — what "
+                "`python train.py --preset tpu` actually delivers here. "
+                "MFU counts model matmul FLOPs only (the on-chip feature "
+                "extraction's STFT matmuls are unmodeled -> conservative).",
             "training_mfu_pct": round(train_mfu_pct, 2),
             "training_bf16_mfu_pct": round(bf16_mfu_pct, 2),
             "training_total_gflops_per_step": round(

@@ -39,15 +39,27 @@ def measure(cfg, NB, T_IN, T_OUT, chain=20, reps=5):
     state = create_train_state(cfg, jax.random.PRNGKey(0), opt)
     tstep = make_train_step(cfg)
     rng_np = np.random.default_rng(0)
+    if cfg.train.on_device_features:
+        # the preset's wire contract: int16 waveforms in, mel/linear
+        # extracted on chip
+        hop = cfg.audio.hop_length
+        targets = dict(
+            mel_targets=None, linear_targets=None,
+            waveforms=jnp.asarray(rng_np.integers(
+                -2000, 2000, (NB, (T_OUT - 1) * hop)), jnp.int16))
+    else:
+        targets = dict(
+            mel_targets=jnp.asarray(rng_np.random((NB, T_OUT, 80)),
+                                    jnp.float32),
+            linear_targets=jnp.asarray(rng_np.random((NB, T_OUT, 1025)),
+                                       jnp.float32))
     batch = Batch(
         inputs=jnp.asarray(rng_np.integers(2, 79, (NB, T_IN)), jnp.int32),
         input_lengths=jnp.full((NB,), T_IN, jnp.int32),
         loss_coeff=jnp.ones((NB,), jnp.float32),
-        mel_targets=jnp.asarray(rng_np.random((NB, T_OUT, 80)), jnp.float32),
-        linear_targets=jnp.asarray(rng_np.random((NB, T_OUT, 1025)),
-                                   jnp.float32),
         speaker_id=jnp.zeros((NB,), jnp.int32),
-        target_lengths=jnp.full((NB,), T_OUT - 1, jnp.int32))
+        target_lengths=jnp.full((NB,), T_OUT - 1, jnp.int32),
+        **targets)
     drng = jax.random.PRNGKey(1)
     box = [state]
 
@@ -90,8 +102,13 @@ def main():
               "peak_tflops_bf16": V5E_BF16_PEAK_TFLOPS,
               "hbm_gb_s": V5E_HBM_GB_S,
               "configs": []}
+    # preset_b32 = the SHIPPED preset, Config.tpu_recommended(): B=32,
+    # bf16, unroll 8, waveform wire + on-chip feature extraction — the
+    # MFU of what `train.py --preset tpu` runs (round-4 verdict item 3)
+    preset = Config.tpu_recommended()
     for name, cfg, NB in (("f32_b16", base, 16),
                           ("bf16_b16", bf16, 16),
+                          ("preset_b32", preset, 32),
                           ("f32_b64", base, 64),
                           ("bf16_b64", bf16, 64),
                           ("bf16_b128", bf16, 128)):
@@ -115,8 +132,9 @@ def main():
         report["configs"].append(entry)
         print(json.dumps(entry))
 
-    b16 = report["configs"][1]
-    b64 = report["configs"][3]
+    by_name = {c["name"]: c for c in report["configs"]}
+    b16 = by_name["bf16_b16"]
+    b64 = by_name["bf16_b64"]
     scale = (b64["frames_per_s"] / b16["frames_per_s"])
     report["batch_scaling_16_to_64"] = round(scale, 2)
     report["verdict"] = (
