@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -262,6 +263,18 @@ def main() -> None:
     long_time, _, _ = _timed(lambda: serve_long()[0], reps=5)
     long_audio_s = long_samples / cfg.audio.sample_rate
     long_throughput = long_audio_s / long_time
+
+    # ---- concurrent load through the REAL app plumbing (SynthWorker +
+    # ThreadingHTTPServer + dynamic request batching): N closed-loop HTTP
+    # clients, per-request p50/p95, observed coalescing, and the
+    # max_batch=1 A/B (the reference's serial-handler behavior).  The
+    # round-4 batching claim, load-measured instead of mechanism-tested.
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from serving_load import run_load_test
+    concurrent_report = run_load_test(
+        synth, levels=(1, 2, 4, 8), requests_per_level=16,
+        max_batches=(4, 1), prewarm=True)
 
     # ---- CPU baseline: host (numpy) Griffin-Lim of the same spectrograms,
     # the reference's serving hot path. One utterance, scaled to the batch.
@@ -595,6 +608,14 @@ def main() -> None:
                               "batched decode -> silence stitch) with the "
                               "fast preset and length-adaptive step "
                               "budget — the app.py long-text route",
+            "serving_concurrent_levels": concurrent_report["levels"],
+            "serving_concurrent_note":
+                "real SynthWorker + HTTP server under N closed-loop "
+                "clients (unique short texts, one token bucket, "
+                "prewarmed). Rows with max_batch=4 exercise dynamic "
+                "request batching; max_batch=1 rows are the serial A/B "
+                "(the reference's Flask handler behavior). batched_calls "
+                "counts coalesced groups actually observed.",
             "fast_gla_audio_s_per_s": round(fast_throughput, 2),
             "fast_gla_batch_seconds": round(fast_time, 4),
             "fast_gla_config": {"iters": 30, "momentum": 0.99,
