@@ -155,6 +155,11 @@ def main() -> None:
                              "(bah_mon = reference default)")
     parser.add_argument("--skip_train", action="store_true",
                         help="reuse an existing run dir; evaluation only")
+    parser.add_argument("--wall_budget_s", type=float, default=None,
+                        help="stop training after this much wall time "
+                             "even if --steps is not reached — for "
+                             "equal-wall-clock comparison arms "
+                             "(docs/BATCH_STUDY.md)")
     args = parser.parse_args()
 
     import tacotron_tpu
@@ -189,7 +194,8 @@ def main() -> None:
     else:
         state = train(run_dir, data_dirs, cfg, num_steps=args.steps,
                       log_every=25, prewarm=True,
-                      test_dump_dir=os.path.join(run_dir, "samples"))
+                      test_dump_dir=os.path.join(run_dir, "samples"),
+                      max_seconds=args.wall_budget_s)
         train_s = time.time() - t0
         steps_done = int(state.step)
         print(f"[*] trained {steps_done} steps in {train_s:.0f} s "

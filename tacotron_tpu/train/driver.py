@@ -141,7 +141,8 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
           blacklists: Sequence[str] = (),
           prewarm: bool = False,
           sync_every: int = 25,
-          prefetch_depth: Optional[int] = None) -> TrainState:
+          prefetch_depth: Optional[int] = None,
+          max_seconds: Optional[float] = None) -> TrainState:
     """Run the training loop; returns the final state.
 
     ``sync_every`` controls the dispatch-ahead depth: device metrics are
@@ -169,7 +170,11 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
     the transport defers the wire move into the consuming step — measured
     there, the producer thread cannot overlap anything and its extra RPC
     traffic makes the loop ~1.8x SLOWER (paired A/B in docs/PERF.md,
-    'Prefetch on the tunneled link') — and 2 everywhere else."""
+    'Prefetch on the tunneled link') — and 2 everywhere else.
+
+    ``max_seconds`` stops the loop cleanly once that much wall time has
+    elapsed (checked each step; the final state is checkpointed) — for
+    equal-wall-budget study arms and preemptible jobs."""
     os.makedirs(run_dir, exist_ok=True)
     init_log(os.path.join(run_dir, "train.log"), os.path.basename(run_dir),
              webhook_url=webhook_url)
@@ -315,8 +320,18 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
     host_step = int(state.step)  # host mirror: int(state.step) would sync
     sync_every = max(1, int(sync_every))  # 0/negative would break the cadence
     diverged = False
+    loop_t0 = time.time()
     try:
         while host_step < num_steps:
+            # wall budget (equal-wall-clock study arms, preemptible jobs):
+            # stop cleanly after ``max_seconds`` of looping — the final
+            # state is checkpointed below like any normal end
+            if max_seconds is not None and \
+                    time.time() - loop_t0 >= max_seconds:
+                flush()
+                log(f"wall budget of {max_seconds:.0f}s reached at step "
+                    f"{host_step}; stopping")
+                break
             # jax.profiler trace window (SURVEY.md §5.1: the reference only
             # had wall-clock sec/step; this captures a real device trace)
             if profile_dir and not profiling \

@@ -272,6 +272,33 @@ def test_train_driver_prewarm(corpus, tmp_path):
     assert "prewarm done" in text
 
 
+def test_train_driver_wall_budget(corpus, tmp_path):
+    """max_seconds stops the loop cleanly once the wall budget elapses:
+    with a 0-second budget the loop exits before step 1, the stop is
+    logged, and the (step-0) state is still checkpointed for resume —
+    the equal-wall-clock study-arm / preemptible-job knob."""
+    import dataclasses
+    import jax
+    from tacotron_tpu.parallel import make_mesh
+    from tacotron_tpu.train.driver import train
+
+    cfg = _tiny_config()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, test_interval=100, checkpoint_interval=100,
+        decay_learning_rate_mode=1))
+    plan = make_mesh(devices=jax.devices()[:2])
+    run_dir = str(tmp_path / "run_budget")
+    state = train(run_dir, corpus, cfg, num_steps=50, log_every=1,
+                  plan=plan, max_seconds=0.0)
+    assert int(state.step) == 0
+    with open(os.path.join(run_dir, "train.log")) as fh:
+        assert "wall budget" in fh.read()
+    # resumable: a second call picks the checkpoint up and trains past it
+    state = train(run_dir, corpus, cfg, num_steps=2, log_every=1,
+                  plan=plan)
+    assert int(state.step) == 2
+
+
 def test_train_driver_writes_metrics_and_provenance(corpus, tmp_path):
     """The driver persists per-interval scalars (metrics.jsonl — the
     reference's TB summary set, train.py:50-77) and git provenance
