@@ -88,14 +88,23 @@ def token_tone_accuracy(wav: np.ndarray, text: str, speaker: int,
     k0 = _BAND_ORIGIN_BIN + _BAND_STRIDE_BIN * speaker
     tones = np.asarray([sr / 2048.0 * (k0 + _TONE_STRIDE_BIN * p)
                         for p in range(TONES_PER_SPEAKER)])
-    hits, total = 0, 0
+    hits, total, measured = 0, 0, 0
     details = []
     for (tok, (slot_lo, slot_hi)) in zip(tokens, bounds):
         if tok in (PAD_ID, EOS_ID, space):
             continue
+        total += 1
         lo, hi = slot_lo + pad, slot_hi - pad
         if hi > len(wav):
-            break
+            # the wav ended before this token's slot: a MISS, not a
+            # skipped measurement — a collapsed decode that emits a
+            # fraction of the utterance must score near 0, not
+            # perfect-on-what-little-exists (round-4's var-rate first
+            # run was scored 100% on 1.3 measured slots/utterance by the
+            # earlier break-out-of-the-loop behavior)
+            details.append((int(tok), None, None, False))
+            continue
+        measured += 1
         chunk = np.asarray(wav[lo:hi], np.float64)
         chunk = chunk * np.hanning(len(chunk))
         mag = np.abs(np.fft.rfft(chunk, n=1 << 15))
@@ -106,9 +115,9 @@ def token_tone_accuracy(wav: np.ndarray, text: str, speaker: int,
                                      ).argmin()])
         ok = abs(nearest - want) < 1e-6
         hits += ok
-        total += 1
         details.append((int(tok), round(want, 1), round(got, 1), bool(ok)))
     return {"accuracy": hits / max(total, 1), "n_segments": total,
+            "measured_fraction": measured / max(total, 1),
             "details": details}
 
 
@@ -214,9 +223,12 @@ def main() -> None:
     f0_results = {}
     tone_results = {}
     for spk in range(len(data_dirs)):
-        # librosa_trim off: token-slot timing must stay sample-aligned
+        # trims off: token-slot timing must stay sample-aligned from t=0,
+        # and a collapsed-attention decode must be measured in full (the
+        # attention trim would cut it to a stump and hide the failure)
         res = synth.synthesize(texts=heldout,
                                speaker_ids=[spk] * len(heldout),
+                               attention_trim=False,
                                librosa_trim=False)
         from make_synthetic_corpus import speaker_band_hz
         lo, hi = speaker_band_hz(spk, sr)
@@ -233,6 +245,8 @@ def main() -> None:
             "mean_accuracy": float(np.mean([a["accuracy"] for a in accs])),
             "min_accuracy": float(np.min([a["accuracy"] for a in accs])),
             "n_segments": int(sum(a["n_segments"] for a in accs)),
+            "measured_fraction": float(np.mean(
+                [a["measured_fraction"] for a in accs])),
             "per_utterance": [round(a["accuracy"], 3) for a in accs],
         }
 
@@ -344,12 +358,14 @@ def main() -> None:
         "how soft the attention weights are (bah_mon's soft-monotonic "
         "bump is wide by construction; its argmax path is the diagonal).",
         "",
-        "| speaker | mean accuracy | min per-utterance | segments |",
-        "|---|---|---|---|",
+        "| speaker | mean accuracy | min per-utterance | segments "
+        "| measured |",
+        "|---|---|---|---|---|",
     ]
     for spk, rec in tone_results.items():
         lines.append(f"| {spk} | {rec['mean_accuracy']:.1%} | "
-                     f"{rec['min_accuracy']:.1%} | {rec['n_segments']} |")
+                     f"{rec['min_accuracy']:.1%} | {rec['n_segments']} | "
+                     f"{rec['measured_fraction']:.0%} |")
     first = curve[0] if curve else (0, 0.0)
     last = curve[-1] if curve else (0, 0.0)
     lines += [

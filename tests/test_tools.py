@@ -417,9 +417,18 @@ def test_melody_var_corpus_instrument_and_discriminance():
         var_acc = token_tone_accuracy(wav, text, spk, sr,
                                       variable_rate=True)
         assert var_acc["accuracy"] == 1.0 and var_acc["n_segments"] > 10
+        assert var_acc["measured_fraction"] == 1.0
         uni_acc = token_tone_accuracy(wav, text, spk, sr,
                                       variable_rate=False)
         assert uni_acc["accuracy"] < 0.6, uni_acc
+        # a truncated decode (collapsed attention emitting a stump) is a
+        # MISS for every unmeasurable slot, not a shorter denominator —
+        # otherwise a 2-slot stump could score 100%
+        stump = token_tone_accuracy(wav[:len(wav) // 4], text, spk, sr,
+                                    variable_rate=True)
+        assert stump["n_segments"] == var_acc["n_segments"]
+        assert stump["accuracy"] <= 0.35
+        assert stump["measured_fraction"] <= 0.35
 
 
 def test_melody_var_fits_serving_step_budget():
