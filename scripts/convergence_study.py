@@ -164,6 +164,11 @@ def main() -> None:
                              "(bah_mon = reference default)")
     parser.add_argument("--skip_train", action="store_true",
                         help="reuse an existing run dir; evaluation only")
+    parser.add_argument("--guided_weight", type=float, default=0.0,
+                        help="TrainConfig.guided_attention_weight — the "
+                             "framework's opt-in soft-diagonal prior "
+                             "(train/losses.py). 0 = reference-parity "
+                             "loss (default)")
     parser.add_argument("--wall_budget_s", type=float, default=None,
                         help="stop training after this much wall time "
                              "even if --steps is not reached — for "
@@ -191,9 +196,10 @@ def main() -> None:
         model=dataclasses.replace(cfg.model, model_type="deepvoice",
                                   num_speakers=len(data_dirs),
                                   attention_type=args.attention),
-        train=dataclasses.replace(cfg.train,
-                                  checkpoint_interval=1000,
-                                  test_interval=args.dump_every))
+        train=dataclasses.replace(
+            cfg.train, checkpoint_interval=1000,
+            test_interval=args.dump_every,
+            guided_attention_weight=args.guided_weight))
 
     run_dir = os.path.join(args.work, "run")
     t0 = time.time()
@@ -270,6 +276,7 @@ def main() -> None:
         "config": {"batch_size": cfg.train.batch_size,
                    "compute_dtype": cfg.model.compute_dtype,
                    "on_device_features": cfg.train.on_device_features,
+                   "guided_attention_weight": args.guided_weight,
                    "schedule": "noam-4k" if
                    cfg.train.decay_learning_rate_mode == 0 else "exp-decay"},
         "heldout_texts": heldout,
@@ -384,7 +391,11 @@ def main() -> None:
         "",
         f"Reproduce: `python scripts/convergence_study.py --steps "
         f"{args.steps} --batch_size {args.batch_size} "
-        f"--style {args.style}`.",
+        f"--style {args.style}"
+        + (f" --guided_weight {args.guided_weight}"
+           if args.guided_weight else "")
+        + (f" --attention {args.attention}"
+           if args.attention != "bah_mon" else "") + "`.",
     ]
     md = "\n".join(lines) + "\n"
     out = args.out or os.path.join(art, "CONVERGENCE.md")
