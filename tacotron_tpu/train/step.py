@@ -77,6 +77,33 @@ def _forward_loss(model: Tacotron, config: Config, params, batch_stats,
                            batch.loss_coeff, config.train, config.audio,
                            target_lengths=batch.target_lengths,
                            reduction_factor=config.model.reduction_factor)
+    # Attention-health telemetry: mean in-bounds attention mass per true
+    # decode step.  Softmax attention sums to ~1 by construction, but the
+    # monotonic variants (bah_mon, the reference default) can LEAK mass
+    # past the last token — the parallel-mode recurrence simply loses
+    # whatever probability marches off the end — and a drop here is the
+    # EARLIEST signal of alignment collapse (hours before synthesized
+    # audio shows it; the round-5 variable-rate study's failed run sat at
+    # mass ~0 from early training while the loss kept falling).  One
+    # masked reduction, fused into the step by XLA.
+    align = out["alignments"]  # [N, T_in, T_dec]
+    N, T_in, T_dec = align.shape
+    tok_mask = (jnp.arange(T_in)[None, :]
+                < batch.input_lengths[:, None])          # [N, T_in]
+    if batch.target_lengths is not None:
+        r = max(1, config.model.reduction_factor)
+        dec_steps = jnp.ceil(batch.target_lengths / r).astype(jnp.float32)
+        dec_steps = jnp.clip(dec_steps, 1.0, float(T_dec))
+    else:
+        dec_steps = jnp.full((N,), float(T_dec))
+    step_mask = (jnp.arange(T_dec)[None, :]
+                 < dec_steps[:, None])                   # [N, T_dec]
+    in_bounds = (align.astype(jnp.float32)
+                 * tok_mask[:, :, None] * step_mask[:, None, :])
+    mass = in_bounds.sum(axis=1).sum(axis=1) / dec_steps  # [N]
+    losses = dict(losses)
+    losses["attention_mass"] = mass.mean()
+
     # Opt-in guided-attention prior (static config branch: zero cost when off)
     if config.train.guided_attention_weight > 0.0:
         attn = guided_attention_loss(
@@ -132,6 +159,7 @@ def make_train_step(config: Config, plan: Optional[MeshPlan] = None,
             # loss-explosion flag (reference train.py:228-230)
             "diverged": jnp.logical_or(losses["loss"] > 100.0,
                                        jnp.isnan(losses["loss"])),
+            "attention_mass": losses["attention_mass"],
         }
         if config.train.guided_attention_weight > 0.0:
             metrics["attention_loss"] = losses["attention_loss"]

@@ -176,6 +176,11 @@ def test_train_step_decreases_loss_on_mesh():
         state, m = step(state, batch, rng)
         assert not bool(m["diverged"])
         losses.append(float(m["loss"]))
+        # attention-collapse telemetry: in-bounds mass is a probability
+        # fraction (bah_mon can leak past the end, so < 1 is legal; > 1
+        # or NaN would mean the masked reduction is wrong)
+        mass = float(m["attention_mass"])
+        assert np.isfinite(mass) and 0.0 <= mass <= 1.01, mass
     assert losses[-1] < losses[0]
     assert int(state.step) == 3
 
