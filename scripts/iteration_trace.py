@@ -48,7 +48,7 @@ def categorize(op_name: str) -> str:
         return "copy_relayout"
     if "fusion" in n:
         return "fusion"
-    if "while" in n or "condition" in n or "body" in n or "tuple" in n:
+    if "tuple" in n or "parameter" in n or "constant" in n:
         return "loop_bookkeeping"
     if "reduce" in n:
         return "reduce"
@@ -58,9 +58,18 @@ def categorize(op_name: str) -> str:
 
 
 def parse_trace(trace_dir: str) -> dict:
-    """Aggregate device-plane op self-times from the newest xplane.pb
-    under ``trace_dir``.  Returns total device ms, per-category ms, and
-    the top ops by self time."""
+    """Aggregate device-plane timings from the newest xplane.pb under
+    ``trace_dir``.
+
+    TPU timelines carry several lines with very different semantics:
+    ``Steps``/``XLA Modules`` hold one event per executed program (the
+    true device wall time of a step); ``XLA Ops`` holds the SEQUENCED
+    per-op events (self-times that sum to ~the module time — the line to
+    attribute compute from); ``Async XLA Ops`` holds overlapped DMA
+    (copy-start/copy-done HBM prefetches running on parallel engines
+    concurrently with compute — summing them into the total would
+    double-count massively, so they are reported separately as an HBM-
+    traffic indicator)."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
@@ -76,30 +85,49 @@ def parse_trace(trace_dir: str) -> dict:
     if not device_planes:  # CPU fallback: the busiest non-host plane
         device_planes = [p for p in xs.planes if p.lines]
     by_op: collections.Counter = collections.Counter()
-    total_ps = 0
+    sync_ps = 0
+    steps_ps = 0
+    n_programs = 0
+    async_ps = 0
     lines_seen = []
     for plane in device_planes:
         if "host" in plane.name.lower():
             continue
         meta = plane.event_metadata
         for line in plane.lines:
-            # op-level lines only; module/step lines would double-count
             lname = line.name.lower()
-            if "module" in lname or "step" in lname:
+            total = sum(e.duration_ps for e in line.events)
+            lines_seen.append(
+                f"{plane.name}/{line.name}: {total / 1e9:.2f} ms")
+            if "step" in lname:
+                steps_ps += total
+                n_programs += len(line.events)
                 continue
-            lines_seen.append(f"{plane.name}/{line.name}")
+            if "module" in lname:
+                continue
+            if "async" in lname:
+                async_ps += total
+                continue
             for ev in line.events:
                 name = meta[ev.metadata_id].name if ev.metadata_id in \
                     meta else str(ev.metadata_id)
+                # while/conditional events are CONTAINERS spanning their
+                # body ops (which appear on the same line) — counting
+                # them would double-attribute the whole loop
+                if name.lstrip("%").startswith(("while", "conditional")):
+                    continue
                 by_op[name] += ev.duration_ps
-                total_ps += ev.duration_ps
+                sync_ps += ev.duration_ps
     by_cat: collections.Counter = collections.Counter()
     for name, ps in by_op.items():
         by_cat[categorize(name)] += ps
     top = [{"op": n, "ms": round(ps / 1e9, 3)}
            for n, ps in by_op.most_common(20)]
     return {
-        "device_total_ms": round(total_ps / 1e9, 3),
+        "device_step_total_ms": round(steps_ps / 1e9, 3),
+        "device_programs": n_programs,
+        "sync_ops_total_ms": round(sync_ps / 1e9, 3),
+        "async_copy_total_ms": round(async_ps / 1e9, 3),
         "by_category_ms": {k: round(v / 1e9, 3)
                            for k, v in by_cat.most_common()},
         "top_ops": top,
@@ -158,14 +186,18 @@ def trace_batch(NB: int, cfg, chain: int = 5,
 
     model = train_step_model(cfg, NB, T_IN, T_OUT)
     iters = int(model["sequential_iterations_total"])
+    dev_step_ms = (parsed["device_step_total_ms"]
+                   / max(parsed["device_programs"], 1))
     parsed.update({
         "batch": NB,
         "chain": chain,
-        "step_ms": round(step_s * 1e3, 3),
+        "wall_step_ms": round(step_s * 1e3, 3),
+        "device_step_ms": round(dev_step_ms, 3),
         "sequential_iterations": iters,
-        "us_per_iteration": round(step_s * 1e6 / iters, 2),
+        "wall_us_per_iteration": round(step_s * 1e6 / iters, 2),
+        "device_us_per_iteration": round(dev_step_ms * 1e3 / iters, 2),
         "by_category_us_per_iteration": {
-            k: round(v * 1e6 / (chain * iters) / 1e3, 2)
+            k: round(v * 1e3 / (chain * iters), 2)
             for k, v in parsed["by_category_ms"].items()},
     })
     return parsed
@@ -195,7 +227,9 @@ def main() -> None:
         entry = trace_batch(NB, bf16, chain=args.chain)
         report["configs"].append(entry)
         print(json.dumps({k: entry[k] for k in
-                          ("batch", "step_ms", "us_per_iteration",
+                          ("batch", "wall_step_ms", "device_step_ms",
+                           "wall_us_per_iteration",
+                           "device_us_per_iteration",
                            "by_category_us_per_iteration")},
                          ensure_ascii=False))
     with open(args.out, "w") as fh:
