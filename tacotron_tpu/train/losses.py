@@ -113,7 +113,20 @@ def guided_attention_loss(alignments: jnp.ndarray,
     mean, so bucket padding does not dilute the penalty.
 
     Returns the scalar mean of ``A[n, t] * (1 - exp(-(n/N - t/T)^2 /
-    (2 sigma^2)))`` over the valid region.
+    (2 sigma^2)))`` over the valid region, PLUS a mass-conservation term
+    ``mean_t (1 - sum_n A[n, t])^2`` over true decode steps.  For softmax
+    attention the per-step mass is 1 by construction and the term is ~0
+    (it only discourages attending padding tokens); for the soft-monotonic
+    ``bah_mon`` (the reference default) it is load-bearing: the
+    parallel-mode recurrence silently DROPS whatever probability scans
+    past the last token (ops/attention.py:40-48), so ``A -> 0`` zeroes the
+    diagonal penalty too and pure guided attention can reward collapse.
+    Anchoring emitted mass at 1 closes that escape: the only way to
+    satisfy both terms is real mass on the diagonal.  (Observed: on the
+    variable-rate melody corpus, reference-parity loss collapses to
+    attention_mass ~0 by early training — docs/convergence_var — because
+    tokens lasting 2-3 steps make the copy-previous-frame shortcut cheap
+    and nothing else holds the monotonic mass in bounds.)
     """
     N, T_in, T_dec = alignments.shape
     r = max(1, int(reduction_factor))
@@ -133,4 +146,12 @@ def guided_attention_loss(alignments: jnp.ndarray,
     mask = ((n < in_len[:, None, None])
             & (t < dec_steps[:, None, None])).astype(alignments.dtype)
     penalty = alignments * weight.astype(alignments.dtype) * mask
-    return jnp.sum(penalty) / jnp.maximum(jnp.sum(mask), 1.0)
+    diag = jnp.sum(penalty) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    # mass conservation over true decode steps (see docstring): mass[n, t]
+    # = in-bounds attention mass at step t; anchor it at 1.
+    mass = jnp.sum(alignments * mask, axis=1)                 # [N, T_dec]
+    step_mask = (t[:, 0, :] < dec_steps[:, None]).astype(alignments.dtype)
+    mass_pen = (jnp.sum(((1.0 - mass) ** 2) * step_mask)
+                / jnp.maximum(jnp.sum(step_mask), 1.0))
+    return diag + mass_pen

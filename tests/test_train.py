@@ -117,6 +117,16 @@ def test_guided_attention_loss_prefers_diagonal():
     padded = float(guided_attention_loss(pad, lens, tlens, r))
     np.testing.assert_allclose(padded, diag, rtol=1e-5)
 
+    # mass conservation: COLLAPSED attention (bah_mon leaking all its
+    # probability off the end, A ~ 0) must score worse than the diagonal —
+    # without the mass term, A=0 would zero the penalty and guided
+    # attention could reward collapse (losses.py docstring)
+    collapsed = jnp.zeros((N, T_in, T_dec))
+    assert float(guided_attention_loss(collapsed, lens, tlens, r)) > 0.5
+    # half the mass emitted on the diagonal: between the two
+    half = float(guided_attention_loss(0.5 * eye, lens, tlens, r))
+    assert diag < half < 1.0
+
 
 def test_guided_attention_in_train_step():
     """With guided_attention_weight > 0 the step reports attention_loss and
