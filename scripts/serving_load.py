@@ -123,7 +123,9 @@ def run_load_test(synth, levels=(1, 2, 4, 8), requests_per_level: int = 16,
     import app as app_module
 
     if prewarm:
-        synth.prewarm(token_buckets=(32,), batch_sizes=(1, 2, 4),
+        # the load texts run 40-50 tokens -> the 64-token bucket; prewarm
+        # 32 too so the warm set matches app.py's own short-text rungs
+        synth.prewarm(token_buckets=(32, 64), batch_sizes=(1, 2, 4),
                       fast_vocoder=True)
     worker = app_module.SynthWorker(synth, max_batch=max(max_batches))
     cache_dir = tempfile.mkdtemp(prefix="serving_load_")

@@ -416,7 +416,12 @@ def make_sharded_synthesis(config: Config, plan, max_steps: int):
     # single-chip; how the partitioner handles a pallas_call with a
     # batch-sharded operand is unverifiable without multi-chip hardware,
     # so the sharded program pins the XLA formulation unless the caller
-    # explicitly forces "pallas"
+    # explicitly forces "pallas".  Measured cost of the conservatism
+    # (single-chip, B=32 classic GL, docs/PERF.md engine race): pinned
+    # matmul_half + XLA OLA = 1014 a-s/s vs the auto single-chip
+    # matmul_half + Pallas OLA = 1065 — an expected ~5% per-chip gap the
+    # moment multi-chip hardware exists to validate the Pallas kernels
+    # under partitioning (then: flip the pins, re-run the equality test)
     audio_cfg = config.audio
     if audio_cfg.ola_impl == "auto":
         audio_cfg = dataclasses.replace(audio_cfg, ola_impl="xla")

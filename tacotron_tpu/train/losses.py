@@ -112,9 +112,16 @@ def guided_attention_loss(alignments: jnp.ndarray,
     and true decoder-step count; padding rows/steps are masked out of the
     mean, so bucket padding does not dilute the penalty.
 
-    Returns the scalar mean of ``A[n, t] * (1 - exp(-(n/N - t/T)^2 /
-    (2 sigma^2)))`` over the valid region, PLUS a mass-conservation term
-    ``mean_t (1 - sum_n A[n, t])^2`` over true decode steps.  For softmax
+    Returns ``mean_t sum_n A[n, t] * (1 - exp(-(n/N - t/T)^2 /
+    (2 sigma^2)))`` — the fraction of each step's attention mass placed
+    off-diagonal, averaged over true decode steps — PLUS a
+    mass-conservation term ``mean_t (1 - sum_n A[n, t])^2``.  Both terms
+    are per-decode-step averages in [0, ~1]: normalizing the diagonal
+    term by the full ``T_in x T_dec`` area instead (DC-TTS's formulation)
+    caps it at ~1/T_in, which measured too weak to beat the
+    copy-previous-frame shortcut — a bah_mon model parked ALL mass on
+    token 0 for every step (mass 1, area-normalized penalty 0.02) and
+    still drove the teacher-forced loss to 0.02.  For softmax
     attention the per-step mass is 1 by construction and the term is ~0
     (it only discourages attending padding tokens); for the soft-monotonic
     ``bah_mon`` (the reference default) it is load-bearing: the
@@ -146,12 +153,13 @@ def guided_attention_loss(alignments: jnp.ndarray,
     mask = ((n < in_len[:, None, None])
             & (t < dec_steps[:, None, None])).astype(alignments.dtype)
     penalty = alignments * weight.astype(alignments.dtype) * mask
-    diag = jnp.sum(penalty) / jnp.maximum(jnp.sum(mask), 1.0)
-
-    # mass conservation over true decode steps (see docstring): mass[n, t]
-    # = in-bounds attention mass at step t; anchor it at 1.
-    mass = jnp.sum(alignments * mask, axis=1)                 # [N, T_dec]
     step_mask = (t[:, 0, :] < dec_steps[:, None]).astype(alignments.dtype)
-    mass_pen = (jnp.sum(((1.0 - mass) ** 2) * step_mask)
-                / jnp.maximum(jnp.sum(step_mask), 1.0))
+    n_steps = jnp.maximum(jnp.sum(step_mask), 1.0)
+    # off-diagonal mass per true decode step, averaged (see docstring)
+    diag = jnp.sum(penalty) / n_steps
+
+    # mass conservation over true decode steps (see docstring): anchor
+    # the in-bounds emitted mass at 1.
+    mass = jnp.sum(alignments * mask, axis=1)                 # [N, T_dec]
+    mass_pen = jnp.sum(((1.0 - mass) ** 2) * step_mask) / n_steps
     return diag + mass_pen

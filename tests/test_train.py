@@ -127,6 +127,13 @@ def test_guided_attention_loss_prefers_diagonal():
     half = float(guided_attention_loss(0.5 * eye, lens, tlens, r))
     assert diag < half < 1.0
 
+    # stuck attention (all mass parked on token 0 every step — the
+    # degenerate solution that satisfies the mass anchor alone) must be
+    # strongly penalized; this is why the diagonal term is a PER-STEP
+    # mass fraction, not an area mean capped at ~1/T_in (losses.py)
+    stuck = jnp.zeros((N, T_in, T_dec)).at[:, 0, :].set(1.0)
+    assert float(guided_attention_loss(stuck, lens, tlens, r)) > 0.3
+
 
 def test_guided_attention_in_train_step():
     """With guided_attention_weight > 0 the step reports attention_loss and
