@@ -169,6 +169,13 @@ def main() -> None:
                              "framework's opt-in soft-diagonal prior "
                              "(train/losses.py). 0 = reference-parity "
                              "loss (default)")
+    parser.add_argument("--guided_decay_steps", type=int, default=0,
+                        help="TrainConfig.guided_attention_decay_steps — "
+                             "linear anneal of the guided weight to 0 "
+                             "over this many steps (the prior is "
+                             "alignment scaffolding; annealing frees "
+                             "late training to sharpen spectra and true "
+                             "durations)")
     parser.add_argument("--wall_budget_s", type=float, default=None,
                         help="stop training after this much wall time "
                              "even if --steps is not reached — for "
@@ -199,7 +206,8 @@ def main() -> None:
         train=dataclasses.replace(
             cfg.train, checkpoint_interval=1000,
             test_interval=args.dump_every,
-            guided_attention_weight=args.guided_weight))
+            guided_attention_weight=args.guided_weight,
+            guided_attention_decay_steps=args.guided_decay_steps))
 
     run_dir = os.path.join(args.work, "run")
     t0 = time.time()
@@ -277,6 +285,7 @@ def main() -> None:
                    "compute_dtype": cfg.model.compute_dtype,
                    "on_device_features": cfg.train.on_device_features,
                    "guided_attention_weight": args.guided_weight,
+                   "guided_attention_decay_steps": args.guided_decay_steps,
                    "schedule": "noam-4k" if
                    cfg.train.decay_learning_rate_mode == 0 else "exp-decay"},
         "heldout_texts": heldout,

@@ -182,6 +182,16 @@ class TrainConfig:
     # 0.0 (default) = off, exact reference loss parity.
     guided_attention_weight: float = 0.0
     guided_attention_sigma: float = 0.2
+    # Linear anneal of guided_attention_weight to ZERO over this many
+    # steps (0 = constant weight).  The prior is scaffolding: it
+    # bootstraps alignment past the early copy-previous-frame basin, but
+    # held at convergence it keeps pulling durations toward the uniform
+    # diagonal and its gradient competes with the recon loss's late
+    # spectral sharpening (measured: a variable-rate run held at 0.3 for
+    # all 20k steps aligned 100% but left spectral peaks ~1 FFT bin
+    # blurred — docs/convergence_var).  Annealing frees late training;
+    # the attention_mass telemetry verifies alignment survives unguided.
+    guided_attention_decay_steps: int = 0
 
     # On-device feature extraction: the feeder ships int16 waveforms and
     # the train step computes mel/linear targets on chip

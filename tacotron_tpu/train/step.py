@@ -51,7 +51,11 @@ class Batch(NamedTuple):
 
 
 def _forward_loss(model: Tacotron, config: Config, params, batch_stats,
-                  batch: Batch, dropout_rng, train: bool):
+                  batch: Batch, dropout_rng, train: bool,
+                  guided_weight=None):
+    """``guided_weight``: traced override of the static
+    ``config.train.guided_attention_weight`` (the annealed weight the
+    train step computes from ``state.step``); None = the config value."""
     if config.train.on_device_features and batch.waveforms is not None:
         # on-device feature extraction: int16 waveforms -> mel/linear
         # targets on chip (7.4x less H2D than precomputed spectrograms)
@@ -110,11 +114,24 @@ def _forward_loss(model: Tacotron, config: Config, params, batch_stats,
             out["alignments"], batch.input_lengths, batch.target_lengths,
             config.model.reduction_factor,
             sigma=config.train.guided_attention_sigma)
+        if guided_weight is None:
+            guided_weight = config.train.guided_attention_weight
         losses = dict(losses)
         losses["attention_loss"] = attn
-        losses["loss"] = (losses["loss"]
-                          + config.train.guided_attention_weight * attn)
+        losses["loss"] = losses["loss"] + guided_weight * attn
     return losses, out, new_stats
+
+
+def _guided_weight_at(config: Config, step) -> Optional[jnp.ndarray]:
+    """Annealed guided-attention weight at ``step`` (traced): linear decay
+    from the configured weight to 0 over ``guided_attention_decay_steps``
+    (constant when 0 — see the TrainConfig field docstring)."""
+    base = config.train.guided_attention_weight
+    decay = config.train.guided_attention_decay_steps
+    if base <= 0.0 or decay <= 0:
+        return None
+    frac = 1.0 - step.astype(jnp.float32) / float(decay)
+    return base * jnp.clip(frac, 0.0, 1.0)
 
 
 def make_train_step(config: Config, plan: Optional[MeshPlan] = None,
@@ -132,10 +149,12 @@ def make_train_step(config: Config, plan: Optional[MeshPlan] = None,
                 dropout_rng: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:
         rng = jax.random.fold_in(dropout_rng, state.step)
 
+        gw = _guided_weight_at(config, state.step)
+
         def loss_fn(params):
             losses, _, new_stats = _forward_loss(
                 model, config, params, state.batch_stats, batch, rng,
-                train=True)
+                train=True, guided_weight=gw)
             return losses["loss"], (losses, new_stats)
 
         grads, (losses, new_stats) = jax.grad(
@@ -163,6 +182,8 @@ def make_train_step(config: Config, plan: Optional[MeshPlan] = None,
         }
         if config.train.guided_attention_weight > 0.0:
             metrics["attention_loss"] = losses["attention_loss"]
+            if gw is not None:
+                metrics["guided_weight"] = gw
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,

@@ -135,6 +135,37 @@ def test_guided_attention_loss_prefers_diagonal():
     assert float(guided_attention_loss(stuck, lens, tlens, r)) > 0.3
 
 
+def test_guided_attention_anneal():
+    """With decay_steps set, the guided weight decays linearly with
+    state.step and reaches 0 (loss == mel+linear) past the horizon."""
+    cfg = Config().replace(train=TrainConfig(
+        decay_learning_rate_mode=1, guided_attention_weight=4.0,
+        guided_attention_decay_steps=8))
+    opt = make_optimizer(cfg.train)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), opt)
+    step = make_train_step(cfg)
+    batch = _toy_batch(N=4)
+    batch = batch._replace(
+        target_lengths=jnp.full((4,), batch.mel_targets.shape[1], jnp.int32))
+    # step 0: full weight
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m["guided_weight"]), 4.0, rtol=1e-6)
+    want = (float(m["mel_loss"]) + float(m["linear_loss"])
+            + 4.0 * float(m["attention_loss"]))
+    np.testing.assert_allclose(float(m["loss"]), want, rtol=1e-5)
+    # mid-decay: step 1 of 8 -> weight 4 * (1 - 1/8)
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m["guided_weight"]), 4.0 * 7 / 8,
+                               rtol=1e-6)
+    # past the horizon: weight 0, loss is the pure recon loss
+    state = state.replace(step=jnp.asarray(100, state.step.dtype))
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert float(m["guided_weight"]) == 0.0
+    np.testing.assert_allclose(
+        float(m["loss"]),
+        float(m["mel_loss"]) + float(m["linear_loss"]), rtol=1e-5)
+
+
 def test_guided_attention_in_train_step():
     """With guided_attention_weight > 0 the step reports attention_loss and
     the optimized loss includes the weighted term."""
