@@ -181,6 +181,14 @@ def main() -> None:
                              "even if --steps is not reached — for "
                              "equal-wall-clock comparison arms "
                              "(docs/BATCH_STUDY.md)")
+    parser.add_argument("--streaming", action="store_true",
+                        help="use the streaming DataFeeder instead of the "
+                             "default device-resident corpus (the study "
+                             "corpus is ~70 MiB; resident mode removes "
+                             "the per-step wire AND the tunnel "
+                             "transport's host-memory leak that OOMs "
+                             "fresh-batch runs past ~20k steps — "
+                             "docs/PERF.md)")
     args = parser.parse_args()
 
     import tacotron_tpu
@@ -207,7 +215,8 @@ def main() -> None:
             cfg.train, checkpoint_interval=1000,
             test_interval=args.dump_every,
             guided_attention_weight=args.guided_weight,
-            guided_attention_decay_steps=args.guided_decay_steps))
+            guided_attention_decay_steps=args.guided_decay_steps,
+            device_resident_corpus=not args.streaming))
 
     run_dir = os.path.join(args.work, "run")
     t0 = time.time()
@@ -286,6 +295,7 @@ def main() -> None:
                    "on_device_features": cfg.train.on_device_features,
                    "guided_attention_weight": args.guided_weight,
                    "guided_attention_decay_steps": args.guided_decay_steps,
+                   "device_resident_corpus": not args.streaming,
                    "schedule": "noam-4k" if
                    cfg.train.decay_learning_rate_mode == 0 else "exp-decay"},
         "heldout_texts": heldout,

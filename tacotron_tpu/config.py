@@ -201,6 +201,15 @@ class TrainConfig:
     # parity with the reference's precomputed-target pipeline.
     on_device_features: bool = False
 
+    # Device-resident corpus (data/resident.py): upload the whole corpus
+    # to HBM once and gather each batch on device — per-step host->device
+    # traffic drops from megabytes to the ~128-byte index array.  The win
+    # on tunneled transports is 2-fold (throughput AND a measured
+    # host-memory leak in the transport's transfer path, docs/PERF.md);
+    # single-process only; corpus must fit under the byte limit below.
+    device_resident_corpus: bool = False
+    resident_corpus_max_bytes: int = 4 << 30
+
     initial_data_greedy: bool = True
     initial_phase_step: int = 8000
     main_data_greedy_factor: float = 0.0

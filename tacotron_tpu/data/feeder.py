@@ -62,6 +62,8 @@ class Example:
     # count (same formula the builder's STFT used)
     wav: Optional[np.ndarray] = None
     hop_length: int = 0
+    # row in the device-resident store (data/resident.py); -1 = streaming
+    resident_index: int = -1
 
     @property
     def n_frames(self) -> int:
@@ -204,6 +206,41 @@ class DataFeeder:
 
     # ------------------------------------------------------------- examples
 
+    def _load_path(self, path: str, data_dir: str) -> Optional[Example]:
+        """Parse one ``.npz`` into an :class:`Example`; ``None`` for a
+        corrupt file (skipped, ``datafeeder.py:260-267``), raises
+        :class:`CorpusFormatError` for a config-level mismatch.
+        Overridable hook: :class:`~.resident.ResidentDataFeeder` serves
+        the same parse from its one-time in-memory preload."""
+        try:
+            with np.load(path) as data:
+                if self.emit_waveforms:
+                    if "wav" not in data:
+                        raise CorpusFormatError(
+                            f"{path} has no 'wav' key: "
+                            "TrainConfig.on_device_features needs a "
+                            "corpus built with "
+                            "DataConfig.store_waveform")
+                    return Example(
+                        tokens=np.asarray(data["tokens"], np.int32),
+                        loss_coeff=float(data["loss_coeff"])
+                        if "loss_coeff" in data else 1.0,
+                        mel=None, linear=None,
+                        speaker_id=self.dir_to_id[data_dir],
+                        wav=np.asarray(data["wav"], np.int16),
+                        hop_length=self.config.audio.hop_length)
+                return Example(
+                    tokens=np.asarray(data["tokens"], np.int32),
+                    loss_coeff=float(data["loss_coeff"])
+                    if "loss_coeff" in data else 1.0,
+                    mel=np.asarray(data["mel"], np.float32),
+                    linear=np.asarray(data["linear"], np.float32),
+                    speaker_id=self.dir_to_id[data_dir])
+        except CorpusFormatError:
+            raise  # a config error, not a corrupt file — surface it
+        except Exception:
+            return None
+
     def _next_example(self, data_dir: str) -> Example:
         paths = self.path_dict[data_dir]
         while True:
@@ -213,34 +250,9 @@ class DataFeeder:
                     self.rng.shuffle(paths)
             path = paths[self._offsets[data_dir]]
             self._offsets[data_dir] += 1
-            try:
-                with np.load(path) as data:
-                    if self.emit_waveforms:
-                        if "wav" not in data:
-                            raise CorpusFormatError(
-                                f"{path} has no 'wav' key: "
-                                "TrainConfig.on_device_features needs a "
-                                "corpus built with "
-                                "DataConfig.store_waveform")
-                        return Example(
-                            tokens=np.asarray(data["tokens"], np.int32),
-                            loss_coeff=float(data["loss_coeff"])
-                            if "loss_coeff" in data else 1.0,
-                            mel=None, linear=None,
-                            speaker_id=self.dir_to_id[data_dir],
-                            wav=np.asarray(data["wav"], np.int16),
-                            hop_length=self.config.audio.hop_length)
-                    return Example(
-                        tokens=np.asarray(data["tokens"], np.int32),
-                        loss_coeff=float(data["loss_coeff"])
-                        if "loss_coeff" in data else 1.0,
-                        mel=np.asarray(data["mel"], np.float32),
-                        linear=np.asarray(data["linear"], np.float32),
-                        speaker_id=self.dir_to_id[data_dir])
-            except CorpusFormatError:
-                raise  # a config error, not a corrupt file — surface it
-            except Exception:
-                continue  # corrupt file: skip (datafeeder.py:260-267)
+            example = self._load_path(path, data_dir)
+            if example is not None:
+                return example
 
     # --------------------------------------------------------------- groups
 

@@ -225,7 +225,11 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
         log(f"warm-started weights from {initialize_path}; step reset to 0 "
             f"(40k-warmup finetune schedule)")
 
-    train_feeder = DataFeeder(
+    feeder_cls = DataFeeder
+    if config.train.device_resident_corpus:
+        from ..data.resident import ResidentDataFeeder
+        feeder_cls = ResidentDataFeeder
+    train_feeder = feeder_cls(
         data_paths, config, data_type="train",
         process_index=jax.process_index(),
         process_count=jax.process_count(), seed=seed,
@@ -264,21 +268,36 @@ def train(run_dir: str, data_paths: Sequence[str], config: Config,
             del dummy
             log(f"prewarm done in {time.time() - t0:.1f} s")
 
-    if prefetch_depth is None:
-        prefetch_depth = resolve_prefetch_depth()
-        log(f"prefetch_depth auto -> {prefetch_depth} "
-            f"({jax.default_backend()} backend)")
     prefetcher = None
-    if prefetch_depth > 0:
-        from ..parallel.prefetch import DevicePrefetcher
-        prefetcher = DevicePrefetcher(
-            train_feeder.get,
-            lambda b: Batch(*shard_batch(plan, b)),
-            depth=prefetch_depth)
-        get_batch = prefetcher.get
-    else:
+    if config.train.device_resident_corpus:
+        # one corpus upload; per-step host->device traffic is the index
+        # array + the small int fields (there is nothing left for the
+        # transfer-prefetch pipeline to overlap)
+        resident_store = train_feeder.upload(plan)
+        log(f"resident corpus: {len(train_feeder.examples)} examples, "
+            f"{train_feeder.resident_nbytes() / 2**20:.0f} MiB on device; "
+            f"per-step wire ~= the {config.train.batch_size * 4}-byte "
+            f"index array")
+
         def get_batch():
-            return Batch(*shard_batch(plan, train_feeder.get()))
+            small, indices = train_feeder.get()
+            small = Batch(*shard_batch(plan, small))
+            return train_feeder.assemble(resident_store, small, indices)
+    else:
+        if prefetch_depth is None:
+            prefetch_depth = resolve_prefetch_depth()
+            log(f"prefetch_depth auto -> {prefetch_depth} "
+                f"({jax.default_backend()} backend)")
+        if prefetch_depth > 0:
+            from ..parallel.prefetch import DevicePrefetcher
+            prefetcher = DevicePrefetcher(
+                train_feeder.get,
+                lambda b: Batch(*shard_batch(plan, b)),
+                depth=prefetch_depth)
+            get_batch = prefetcher.get
+        else:
+            def get_batch():
+                return Batch(*shard_batch(plan, train_feeder.get()))
 
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
     tc = config.train

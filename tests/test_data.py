@@ -500,3 +500,111 @@ def test_train_prefetch_matches_synchronous(corpus, tmp_path):
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)),
         s_sync.batch_stats, s_pre.batch_stats)
+
+
+def test_resident_feeder_matches_host(corpus):
+    """ResidentDataFeeder emits the exact batch sequence the streaming
+    feeder does under pad_to_corpus_max (same rng stream): small fields
+    equal, and gathering the store rows reproduces the big tensors."""
+    import dataclasses
+    from tacotron_tpu.data.resident import ResidentDataFeeder
+
+    base = _tiny_config()
+    cfg_max = base.replace(data=dataclasses.replace(
+        base.data, pad_to_corpus_max=True))
+    host = DataFeeder(corpus, cfg_max, data_type="train", batch_size=2,
+                      n_test=1, seed=7)
+    res = ResidentDataFeeder(corpus, base, data_type="train", batch_size=2,
+                             n_test=1, seed=7)
+    store = res.host_store()
+    hb, rb = host.batches(), res.batches()
+    for _ in range(6):
+        b = next(hb)
+        small, idx = next(rb)
+        np.testing.assert_array_equal(b.inputs, small.inputs)
+        np.testing.assert_array_equal(b.input_lengths, small.input_lengths)
+        np.testing.assert_array_equal(b.loss_coeff, small.loss_coeff)
+        np.testing.assert_array_equal(b.speaker_id, small.speaker_id)
+        np.testing.assert_array_equal(b.target_lengths, small.target_lengths)
+        np.testing.assert_array_equal(b.mel_targets,
+                                      store["mel_targets"][idx])
+        np.testing.assert_array_equal(b.linear_targets,
+                                      store["linear_targets"][idx])
+
+
+def test_resident_feeder_guards(corpus):
+    """Config/usage errors fail fast: test split, multi-process, byte cap."""
+    import dataclasses
+    import pytest
+    from tacotron_tpu.data.resident import ResidentDataFeeder
+
+    cfg = _tiny_config()
+    with pytest.raises(ValueError, match="train-only"):
+        ResidentDataFeeder(corpus, cfg, data_type="test")
+    with pytest.raises(ValueError, match="single-process"):
+        ResidentDataFeeder(corpus, cfg, process_count=2)
+    small_cap = cfg.replace(train=dataclasses.replace(
+        cfg.train, resident_corpus_max_bytes=1024))
+    with pytest.raises(ValueError, match="resident_corpus_max_bytes"):
+        ResidentDataFeeder(corpus, small_cap)
+
+
+def test_train_resident_matches_streaming(corpus, tmp_path):
+    """device_resident_corpus trains on ON-DEVICE gathered batches but
+    consumes the same example stream: parameters after N steps are
+    bitwise equal to the streaming pad_to_corpus_max loop's."""
+    import dataclasses
+    import jax
+    from tacotron_tpu.parallel import make_mesh
+    from tacotron_tpu.train.driver import train
+
+    cfg = _tiny_config()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, test_interval=100, checkpoint_interval=100,
+        decay_learning_rate_mode=1))
+    stream_cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, pad_to_corpus_max=True))
+    resident_cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, device_resident_corpus=True))
+    plan = make_mesh(devices=jax.devices()[:2])
+    s_stream = train(str(tmp_path / "stream"), corpus, stream_cfg,
+                     num_steps=4, plan=plan, prefetch_depth=0)
+    s_res = train(str(tmp_path / "res"), corpus, resident_cfg,
+                  num_steps=4, plan=plan)
+    assert int(s_stream.step) == int(s_res.step) == 4
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        s_stream.params, s_res.params)
+    run_log = open(str(tmp_path / "res" / "train.log")).read()
+    assert "resident corpus:" in run_log
+
+
+def test_resident_feeder_waveform_mode(tmp_path):
+    """Resident store in waveform mode (on_device_features): gathered
+    int16 rows equal the streaming feeder's padded waveform batches."""
+    import dataclasses
+    from tacotron_tpu.data.resident import ResidentDataFeeder
+
+    meta = _make_corpus(str(tmp_path / "spk0"), n=6)
+    base = _tiny_config()
+    wav_cfg = base.replace(
+        data=dataclasses.replace(base.data, store_waveform=True),
+        train=dataclasses.replace(base.train, on_device_features=True))
+    build_from_path(meta, wav_cfg, num_workers=1)
+    dirs = [str(tmp_path / "spk0" / "data")]
+
+    host_cfg = wav_cfg.replace(data=dataclasses.replace(
+        wav_cfg.data, pad_to_corpus_max=True))
+    host = DataFeeder(dirs, host_cfg, data_type="train", batch_size=2,
+                      n_test=1, seed=3)
+    res = ResidentDataFeeder(dirs, wav_cfg, data_type="train", batch_size=2,
+                             n_test=1, seed=3)
+    store = res.host_store()
+    assert store["waveforms"].dtype == np.int16
+    hb, rb = host.batches(), res.batches()
+    for _ in range(4):
+        b = next(hb)
+        small, idx = next(rb)
+        np.testing.assert_array_equal(b.inputs, small.inputs)
+        np.testing.assert_array_equal(b.waveforms, store["waveforms"][idx])
