@@ -507,6 +507,38 @@ def main() -> None:
     preset_live_ms = preset_live_time / FRESH * 1e3
     preset_live_frames_per_s = PRESET_NB * T_OUT / (preset_live_ms / 1e3)
 
+    # ---- device-resident corpus loop (TrainConfig.device_resident_corpus,
+    # data/resident.py): the corpus lives in HBM; each step ships only the
+    # small int fields + a B-int32 index array and gathers the waveforms
+    # on device.  Measured at the fresh-batch cadence (new indices + small
+    # fields from host every step) — the loop `python train.py` runs with
+    # the knob on.  Also the leak-proof loop on this transport
+    # (docs/PERF.md "Host-memory leak on the tunneled transport").
+    N_STORE = 256
+    res_store = {"waveforms": jax.device_put(rng_np.integers(
+        -2000, 2000, (N_STORE, (T_OUT - 1) * hop)).astype(np.int16))}
+    res_gather = jax.jit(lambda s, i: {k: v[i] for k, v in s.items()})
+    res_small_host = [preset_host_batches[i]._replace(waveforms=None)
+                      for i in range(4)]
+    res_idx = [rng_np.integers(0, N_STORE, (PRESET_NB,)).astype(np.int32)
+               for _ in range(4)]
+
+    def resident_chain():
+        s = pbox[0]
+        m = None
+        for i in range(FRESH):
+            small = jax.tree.map(jnp.asarray, res_small_host[i % 4])
+            big = res_gather(res_store, jnp.asarray(res_idx[i % 4]))
+            s, m = tstep_p(s, small._replace(waveforms=big["waveforms"]),
+                           drng)
+        pbox[0] = s
+        float(m["param_norm"])
+
+    resident_chain()  # compile/warm
+    resident_time, _, _ = _timed(resident_chain, reps=3, warmup=1)
+    resident_ms = resident_time / FRESH * 1e3
+    resident_frames_per_s = PRESET_NB * T_OUT / (resident_ms / 1e3)
+
     # ---- roofline accounting for the Griffin-Lim spectral step (the
     # dominant synthesis cost): the default "matmul_half" engine's DIF
     # split-bin matmuls (dsp/chip.py::_half_dft_matrices) per iteration
@@ -688,6 +720,19 @@ def main() -> None:
             "training_preset_live_frames_per_s_per_chip": round(
                 preset_live_frames_per_s, 1),
             "training_preset_mfu_pct": round(preset_mfu_pct, 2),
+            "training_resident_step_ms": round(resident_ms, 2),
+            "training_resident_frames_per_s_per_chip": round(
+                resident_frames_per_s, 1),
+            "training_resident_note":
+                "device_resident_corpus: corpus in HBM, per-step wire = "
+                "small int fields + a B-int32 index array, waveforms "
+                "gathered on device (data/resident.py). The live-loop "
+                "row to compare against is training_preset_live_* (same "
+                "B=32 preset, fresh batch over the wire each step); "
+                "training_preset_frames_per_s is the no-input-at-all "
+                "compute ceiling. Also the only loop immune to this "
+                "transport's per-transfer host-memory retention "
+                "(docs/PERF.md).",
             "training_preset_note":
                 "Config.tpu_recommended() — the composed preset train.py "
                 "--preset tpu runs (B=32, bf16 compute, unroll 8, int16 "

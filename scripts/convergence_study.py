@@ -88,7 +88,8 @@ def token_tone_accuracy(wav: np.ndarray, text: str, speaker: int,
     k0 = _BAND_ORIGIN_BIN + _BAND_STRIDE_BIN * speaker
     tones = np.asarray([sr / 2048.0 * (k0 + _TONE_STRIDE_BIN * p)
                         for p in range(TONES_PER_SPEAKER)])
-    hits, total, measured = 0, 0, 0
+    bin_hz = sr / 2048.0
+    hits, tol_hits, wrong, total, measured = 0, 0, 0, 0, 0
     details = []
     for (tok, (slot_lo, slot_hi)) in zip(tokens, bounds):
         if tok in (PAD_ID, EOS_ID, space):
@@ -102,6 +103,7 @@ def token_tone_accuracy(wav: np.ndarray, text: str, speaker: int,
             # perfect-on-what-little-exists (round-4's var-rate first
             # run was scored 100% on 1.3 measured slots/utterance by the
             # earlier break-out-of-the-loop behavior)
+            wrong += 1
             details.append((int(tok), None, None, False))
             continue
         measured += 1
@@ -115,8 +117,23 @@ def token_tone_accuracy(wav: np.ndarray, text: str, speaker: int,
                                      ).argmin()])
         ok = abs(nearest - want) < 1e-6
         hits += ok
+        # error DECOMPOSITION in FFT bins: <=1.5 bins is spectral
+        # rendering precision with the RIGHT token attended (sentence-
+        # adjacent tokens' tones sit many bins apart — the *7 stride —
+        # so a misaligned read cannot land this close); >6 bins means
+        # the slot's audio came from the wrong token (an alignment or
+        # duration error).  The strict nearest-tone `accuracy` above
+        # additionally demands sub-1-bin pitch (and implicitly ~2x
+        # tighter RELATIVE pitch from higher-band speakers, since the
+        # 2-bin tone grid is linear in Hz).
+        err_bins = abs(got - want) / bin_hz
+        tol_hits += err_bins <= 1.5
+        wrong += err_bins > 6.0
         details.append((int(tok), round(want, 1), round(got, 1), bool(ok)))
-    return {"accuracy": hits / max(total, 1), "n_segments": total,
+    return {"accuracy": hits / max(total, 1),
+            "accuracy_tol": tol_hits / max(total, 1),
+            "wrong_token_rate": wrong / max(total, 1),
+            "n_segments": total,
             "measured_fraction": measured / max(total, 1),
             "details": details}
 
@@ -222,7 +239,14 @@ def main() -> None:
     t0 = time.time()
     steps_done = args.steps
     if args.skip_train:
+        # evaluation-only rerun: keep the recorded wall time of the run
+        # being re-scored, if its report is already in the artifacts dir
         train_s = 0.0
+        prior = os.path.join(args.artifacts or os.path.join(
+            args.work, "artifacts"), "convergence_report.json")
+        if os.path.exists(prior):
+            with open(prior) as fh:
+                train_s = json.load(fh).get("train_seconds", 0.0)
     else:
         state = train(run_dir, data_dirs, cfg, num_steps=args.steps,
                       log_every=25, prewarm=True,
@@ -267,10 +291,16 @@ def main() -> None:
         tone_results[str(spk)] = {
             "mean_accuracy": float(np.mean([a["accuracy"] for a in accs])),
             "min_accuracy": float(np.min([a["accuracy"] for a in accs])),
+            "mean_accuracy_tol": float(np.mean(
+                [a["accuracy_tol"] for a in accs])),
+            "wrong_token_rate": float(np.mean(
+                [a["wrong_token_rate"] for a in accs])),
             "n_segments": int(sum(a["n_segments"] for a in accs)),
             "measured_fraction": float(np.mean(
                 [a["measured_fraction"] for a in accs])),
             "per_utterance": [round(a["accuracy"], 3) for a in accs],
+            "per_utterance_tol": [round(a["accuracy_tol"], 3)
+                                  for a in accs],
         }
 
     # ------------------------------------------------------------ artifacts
@@ -324,7 +354,10 @@ def main() -> None:
         "",
         f"Trained **{steps_done} steps in {train_s:.0f} s** "
         f"({steps_done/max(train_s,1e-9):.1f} steps/s wall, "
-        f"prefetch-to-device pipeline).",
+        + ("device-resident corpus — the whole corpus lives in HBM and "
+           "each batch is an on-device gather, data/resident.py"
+           if not args.streaming else "prefetch-to-device pipeline")
+        + ").",
         "",
         "## Held-out attention health (greedy decode, unseen sentences)",
         "",
@@ -384,14 +417,30 @@ def main() -> None:
         "how soft the attention weights are (bah_mon's soft-monotonic "
         "bump is wide by construction; its argmax path is the diagonal).",
         "",
-        "| speaker | mean accuracy | min per-utterance | segments "
-        "| measured |",
-        "|---|---|---|---|---|",
+        "| speaker | strict (nearest tone) | ±1.5-bin tolerance "
+        "| wrong-token rate | segments | measured |",
+        "|---|---|---|---|---|---|",
     ]
     for spk, rec in tone_results.items():
         lines.append(f"| {spk} | {rec['mean_accuracy']:.1%} | "
-                     f"{rec['min_accuracy']:.1%} | {rec['n_segments']} | "
+                     f"{rec['mean_accuracy_tol']:.1%} | "
+                     f"{rec['wrong_token_rate']:.1%} | "
+                     f"{rec['n_segments']} | "
                      f"{rec['measured_fraction']:.0%} |")
+    lines += [
+        "",
+        "Error decomposition (see `token_tone_accuracy` docstring): "
+        "`±1.5-bin tolerance` scores the slot correct when its dominant "
+        "frequency lands within 1.5 FFT bins (17.6 Hz) of the expected "
+        "token's tone — sentence-adjacent tokens' tones sit many bins "
+        "apart, so this still requires attending the right token in the "
+        "right ground-truth slot; `wrong-token rate` (>6 bins off) counts "
+        "slots whose audio came from the wrong token — genuine alignment "
+        "or duration errors.  The strict column additionally demands "
+        "sub-bin pitch rendering, a bar that is ~2x tighter in RELATIVE "
+        "pitch for higher-band speakers (the 2-bin tone grid is linear "
+        "in Hz).",
+    ]
     first = curve[0] if curve else (0, 0.0)
     last = curve[-1] if curve else (0, 0.0)
     lines += [
@@ -410,9 +459,11 @@ def main() -> None:
         "",
         f"Reproduce: `python scripts/convergence_study.py --steps "
         f"{args.steps} --batch_size {args.batch_size} "
-        f"--style {args.style}"
+        f"--utterances {args.utterances} --style {args.style}"
         + (f" --guided_weight {args.guided_weight}"
            if args.guided_weight else "")
+        + (f" --guided_decay_steps {args.guided_decay_steps}"
+           if args.guided_decay_steps else "")
         + (f" --attention {args.attention}"
            if args.attention != "bah_mon" else "") + "`.",
     ]
