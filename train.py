@@ -83,6 +83,19 @@ def main(argv=None) -> None:
                              "targets on chip (7.4x less H2D per step; "
                              "needs a corpus built with "
                              "DataConfig.store_waveform)")
+    parser.add_argument("--device_resident", action="store_true",
+                        help="upload the whole corpus to HBM once and "
+                             "gather each batch on device (~128 B/step "
+                             "wire; measured 7x the fresh-batch live "
+                             "loop on a tunneled host link). Single "
+                             "process; corpus must fit "
+                             "TrainConfig.resident_corpus_max_bytes "
+                             "(data/resident.py, docs/PERF.md)")
+    parser.add_argument("--guided_attention_decay_steps", type=int,
+                        default=None,
+                        help="linearly anneal the guided-attention weight "
+                             "to 0 over this many steps (the prior is "
+                             "alignment scaffolding; docs/convergence_var)")
     args = parser.parse_args(argv)
 
     from tacotron_tpu import enable_compilation_cache
@@ -116,6 +129,13 @@ def main(argv=None) -> None:
         config = config.replace(train=dataclasses.replace(
             config.train,
             guided_attention_weight=args.guided_attention_weight))
+    if args.guided_attention_decay_steps is not None:
+        config = config.replace(train=dataclasses.replace(
+            config.train,
+            guided_attention_decay_steps=args.guided_attention_decay_steps))
+    if args.device_resident:
+        config = config.replace(train=dataclasses.replace(
+            config.train, device_resident_corpus=True))
 
     if args.scan_unroll == "auto":
         config = tune_scan_unroll(config)
