@@ -355,6 +355,14 @@ class Config:
 
         Exact-reference-parity defaults stay on ``Config()``; this preset
         is where TPU production training should start.
+
+        Two opt-ins to consider on top (not composed here because they
+        depend on the deployment): ``device_resident_corpus`` when the
+        corpus fits HBM (measured 7x the fresh-batch live loop on a
+        tunneled host link — data/resident.py, docs/PERF.md), and for
+        SMALL corpora trained to a quality target, ``batch_size=16``
+        reaches held-out quality sooner in wall-clock
+        (docs/BATCH_STUDY.md equal-wall arms).
         """
         base = base if base is not None else cls()
         return base.replace(
